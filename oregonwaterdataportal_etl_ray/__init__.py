@@ -1,0 +1,21 @@
+"""oregonwaterdataportal_etl_ray — a Ray-Data-native CDC / incremental-ingest engine.
+
+A from-scratch rebuild of the query/data-processing capabilities of
+``cgs-earth/OregonWaterDataPortal-ETL`` (reference at /root/reference, cited by
+file:line in docstrings) re-expressed Ray-Data-first:
+
+- change-event replay -> LWW upsert merge (the reference's idempotent
+  exists-check-then-insert sinks + ``merge_paginated_well_response`` LWW kernel,
+  reference userCode/groundwater/wells.py:347-378) over Parquet tables keyed by
+  ``(repo, path)`` with commit-sequence version order,
+- monotonic per-partition watermarks (reference userCode/helper_classes.py:131-162),
+- exactly-once Parquet sink with per-partition manifests + atomic rename
+  (reference userCode/wrd/dag.py:256-281 check-then-insert),
+- Arrow schema unification / rename-alias evolution (reference
+  userCode/wrd/types.py:207 alias, userCode/ontology.py:60-328 remap table),
+- plus the large-scale training-data operators (dedup, ANN, text analysis).
+
+Everything is built on public Ray Data / PyArrow APIs only.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,3 @@
+from .engine import CdcEngine, ReplayResult  # noqa: F401
+from .oracle import oracle_replay  # noqa: F401
+from .schema import EvolutionSpec, plan_target_schema  # noqa: F401

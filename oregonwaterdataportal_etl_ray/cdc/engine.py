@@ -1,0 +1,310 @@
+"""CdcEngine — Ray-Data-native binlog/WAL-tail replay -> lake upsert.
+
+Pipeline shape (SURVEY.md §3.4 / §7.2):
+
+    read_parquet(change batches)
+      -> map_batches(NormalizeEvents, actor pool)     # conform + lsn + bucket
+                                                      # + watermark filter
+                                                      # + partial LWW combine
+      -> groupby("bucket")                            # the ONE hash shuffle
+      -> map_groups(merge bucket)                     # LWW vs committed state,
+                                                      # LSM delta runs,
+                                                      # exactly-once commit
+      -> small stats dataset (driver aggregates lineage)
+
+Durable state layout under ``state_dir``:
+    manifest/bucket-NNNNN.json   per-partition lineage (epoch, last LSN, counts)
+    data/bucket=NNNNN/base-*.parquet / run-*.parquet  LSM base + delta runs
+    epochs.json                  driver-level epoch -> files lineage
+    schema.bin                   unified Arrow schema (serialized)
+
+Scale notes (100 TB design):
+  - the partial reduce inside NormalizeEvents is the combiner: the shuffle
+    moves winners-per-block, not raw events;
+  - one shuffle total, keyed by a consistent hash bucket of (repo, path);
+    ``num_buckets`` >> worker count so stragglers even out and skewed repos
+    spread across (repo, path) pairs;
+  - merge state is on disk (the sink), never in actor RAM — recovery
+    re-derives from checkpoint + replay, mirroring the reference's
+    "state lives in the sink" rule (/root/reference/userCode/wrd/dag.py:389-393);
+  - per-bucket output files => resumable, partitioned, never one giant file.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+from ..functions.kernels import sha256_hex
+from ..state.manifest import (
+    BucketManifest,
+    atomic_write_bytes,
+    atomic_write_table,
+    load_all_manifests,
+    load_manifest,
+    write_manifest,
+)
+from .merge import NormalizeEvents, drop_tombstones, merge_sorted_runs, reduce_lww
+from .schema import EvolutionSpec, plan_target_schema
+
+STATS_SCHEMA = pa.schema([
+    ("bucket", pa.int32()), ("epoch", pa.int64()), ("applied", pa.int64()),
+    ("upserts", pa.int64()), ("deletes", pa.int64()),
+    ("skipped_stale", pa.int64()), ("last_applied_lsn", pa.int64()),
+    ("committed", pa.bool_()),
+])
+
+
+def _stats_row(**kw) -> pa.Table:
+    return pa.table({k: [kw.get(k)] for k in STATS_SCHEMA.names}, schema=STATS_SCHEMA)
+
+
+def _read_rel(state_dir: str, rel: str) -> pa.Table:
+    return pq.read_table(os.path.join(state_dir, rel))
+
+
+def _merge_bucket(group: pa.Table, *, state_dir: str, epoch: int,
+                  compact_every: int) -> pa.Table:
+    """Merge one bucket's epoch delta against its committed LSM state.
+
+    Exactly-once under Ray task retry: (1) a manifest already at-or-past
+    ``epoch`` short-circuits to a no-op (check-then-insert, reference
+    userCode/wrd/dag.py:256-281); (2) all file writes are tmp+atomic-rename of
+    deterministic content, so a duplicate attempt re-creates identical bytes.
+    """
+    bucket = int(group.column("bucket")[0].as_py())
+    m = load_manifest(state_dir, bucket) or BucketManifest(bucket=bucket)
+    if m.epoch >= epoch:
+        return _stats_row(bucket=bucket, epoch=epoch, applied=0, upserts=0,
+                          deletes=0, skipped_stale=group.num_rows,
+                          last_applied_lsn=m.last_applied_lsn, committed=False)
+
+    # LWW collapse of this epoch's delta. No per-row LSN filter here: the
+    # merge is idempotent (a stale or duplicate row loses to the committed
+    # winner), and out-of-order rows may legitimately carry LSNs below the
+    # bucket's max — exactly-once comes from the epoch-level manifest check
+    # above, not from dropping rows. Tombstones are RETAINED in the LSM state
+    # so a late stale upsert can never resurrect a deleted key; they are
+    # dropped only at read time.
+    fresh = reduce_lww(group)
+    n_stale = group.num_rows - fresh.num_rows
+
+    stats = dict(m.stats) if m.stats else {"upserts": 0, "deletes": 0, "skipped_stale": 0}
+    runs = list(m.runs)
+    if fresh.num_rows:
+        fresh = fresh.sort_by([("__key", "ascending")])
+        n_del = fresh.column("content").null_count
+        n_up = fresh.num_rows - n_del
+        rel = f"data/bucket={bucket:05d}/run-{epoch:05d}.parquet"
+        atomic_write_table(os.path.join(state_dir, rel), fresh)
+        runs.append(rel)
+        new_last = max(m.last_applied_lsn, pc.max(fresh.column("lsn")).as_py())
+    else:
+        n_del = n_up = 0
+        new_last = m.last_applied_lsn
+
+    base_file = m.base_file
+    row_count = m.row_count
+    if runs and len(runs) >= compact_every:
+        parts = ([_read_rel(state_dir, base_file)] if base_file else []) + \
+                [_read_rel(state_dir, r) for r in runs]
+        merged = merge_sorted_runs(parts).sort_by([("__key", "ascending")])
+        base_file = f"data/bucket={bucket:05d}/base-{epoch:05d}.parquet"
+        atomic_write_table(os.path.join(state_dir, base_file), merged)
+        row_count = merged.num_rows - merged.column("content").null_count
+        runs = []
+
+    stats["upserts"] += n_up
+    stats["deletes"] += n_del
+    stats["skipped_stale"] += n_stale
+    write_manifest(state_dir, BucketManifest(
+        bucket=bucket, epoch=epoch, last_applied_lsn=new_last,
+        row_count=row_count, base_file=base_file, runs=runs, stats=stats))
+    return _stats_row(bucket=bucket, epoch=epoch, applied=fresh.num_rows,
+                      upserts=n_up, deletes=n_del, skipped_stale=n_stale,
+                      last_applied_lsn=new_last, committed=True)
+
+
+class _ReadBucket:
+    """Actor-pool stage: merge-on-read of one committed bucket per input row."""
+
+    def __init__(self, state_dir: str, with_sha: bool):
+        self.state_dir = state_dir
+        self.with_sha = with_sha
+        self.schema = CdcEngine.load_schema(state_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for b in batch.column("bucket").to_pylist():
+            m = load_manifest(self.state_dir, int(b))
+            if m is None:
+                continue
+            parts = ([_read_rel(self.state_dir, m.base_file)] if m.base_file else []) + \
+                    [_read_rel(self.state_dir, r) for r in m.runs]
+            merged = merge_sorted_runs(parts)
+            if merged is None:
+                continue
+            t = drop_tombstones(merged)
+            if self.with_sha:
+                t = t.append_column("sha256", sha256_hex(t["content"]))
+            out.append(t.drop_columns(["__key", "bucket"]))
+        if not out:
+            return pa.table({})  # empty — Ray drops empty blocks
+        return pa.concat_tables(out, promote_options="permissive")
+
+
+@dataclass
+class ReplayResult:
+    epochs: list[dict] = field(default_factory=list)
+    n_applied: int = 0
+    n_upserts: int = 0
+    n_deletes: int = 0
+    n_skipped: int = 0
+
+
+class CdcEngine:
+    """Incremental, resumable, exactly-once LWW upsert engine over Ray Data."""
+
+    def __init__(self, state_dir: str, num_buckets: int = 64,
+                 evolution: EvolutionSpec | None = None,
+                 compact_every: int = 4,
+                 normalize_concurrency: int | tuple | None = None,
+                 normalize_batch_size: int = 64 * 1024):
+        self.state_dir = state_dir
+        self.num_buckets = num_buckets
+        self.evolution = evolution or EvolutionSpec()
+        self.compact_every = compact_every
+        self.normalize_concurrency = normalize_concurrency
+        self.normalize_batch_size = normalize_batch_size
+        os.makedirs(state_dir, exist_ok=True)
+
+    @staticmethod
+    def _default_concurrency() -> tuple[int, int]:
+        """Size the actor pool to the cluster (Ray is already initialised by
+        the driver). Autoscaling (min, max) lets the streaming executor shrink
+        the pool when a stage is not the bottleneck."""
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        return (1, max(2, cpus))
+
+    # ---- schema persistence -------------------------------------------
+    def _schema_path(self) -> str:
+        return os.path.join(self.state_dir, "schema.bin")
+
+    def save_schema(self, schema: pa.Schema) -> None:
+        atomic_write_bytes(self._schema_path(), schema.serialize().to_pybytes())
+
+    @staticmethod
+    def load_schema(state_dir: str) -> pa.Schema | None:
+        p = os.path.join(state_dir, "schema.bin")
+        if not os.path.exists(p):
+            return None
+        with open(p, "rb") as f:
+            return pa.ipc.read_schema(pa.BufferReader(f.read()))
+
+    # ---- epoch-level lineage ------------------------------------------
+    def _epochs_path(self) -> str:
+        return os.path.join(self.state_dir, "epochs.json")
+
+    def committed_epochs(self) -> list[dict]:
+        p = self._epochs_path()
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit_epoch(self, record: dict) -> None:
+        epochs = self.committed_epochs()
+        epochs.append(record)
+        atomic_write_bytes(self._epochs_path(),
+                           json.dumps(epochs, sort_keys=True).encode())
+
+    # ---- core ----------------------------------------------------------
+    def apply_epoch(self, files: list[str], epoch: int) -> dict:
+        """Apply one ordered batch-file group as epoch ``epoch``. Idempotent."""
+        old_schema = self.load_schema(self.state_dir)
+        schemas = [s for s in [old_schema] if s is not None]
+        target = plan_target_schema(files, self.evolution)
+        if schemas:
+            target = pa.unify_schemas(schemas + [target], promote_options="permissive")
+        self.save_schema(target)
+
+        conc = self.normalize_concurrency or self._default_concurrency()
+        ds = ray.data.read_parquet(files)
+        ds = ds.map_batches(
+            NormalizeEvents,
+            fn_constructor_kwargs=dict(
+                target_schema=target, num_buckets=self.num_buckets,
+                evolution=self.evolution),
+            batch_format="pyarrow",
+            batch_size=self.normalize_batch_size,
+            concurrency=conc,
+        )
+        merge = functools.partial(_merge_bucket, state_dir=self.state_dir,
+                                  epoch=epoch, compact_every=self.compact_every)
+        stats = ds.groupby("bucket").map_groups(merge, batch_format="pyarrow")
+        st = stats.to_pandas()  # one row per touched bucket — small
+        rec = {
+            "epoch": epoch, "files": files,
+            "applied": int(st["applied"].sum()) if len(st) else 0,
+            "upserts": int(st["upserts"].sum()) if len(st) else 0,
+            "deletes": int(st["deletes"].sum()) if len(st) else 0,
+            "skipped_stale": int(st["skipped_stale"].sum()) if len(st) else 0,
+            "buckets_touched": int(len(st)),
+        }
+        self._commit_epoch(rec)
+        return rec
+
+    def replay(self, files: list[str], epoch_size: int | None = None,
+               fail_after_epoch: int | None = None) -> ReplayResult:
+        """Replay ``files`` in order, grouped into epochs; resumes from lineage.
+
+        ``fail_after_epoch`` is a test hook that raises after committing that
+        many epochs (kill-and-resume suites)."""
+        epoch_size = epoch_size or len(files)
+        groups = [files[i:i + epoch_size] for i in range(0, len(files), epoch_size)]
+        done = self.committed_epochs()
+        result = ReplayResult(epochs=list(done))
+        for i, group in enumerate(groups):
+            if i < len(done):
+                continue  # committed epoch — resume without reprocessing
+            rec = self.apply_epoch(group, epoch=i)
+            result.epochs.append(rec)
+            if fail_after_epoch is not None and i + 1 >= fail_after_epoch and i + 1 < len(groups):
+                raise RuntimeError(f"injected failure after epoch {i}")
+        for rec in result.epochs:
+            result.n_applied += rec["applied"]
+            result.n_upserts += rec["upserts"]
+            result.n_deletes += rec["deletes"]
+            result.n_skipped += rec["skipped_stale"]
+        return result
+
+    # ---- reads ---------------------------------------------------------
+    def final_dataset(self, with_sha: bool = True) -> "ray.data.Dataset":
+        """Distributed merge-on-read of the committed table (streams per bucket)."""
+        manifests = load_all_manifests(self.state_dir)
+        items = [{"bucket": b} for b in sorted(manifests)]
+        ds = ray.data.from_items(items)
+        return ds.map_batches(
+            _ReadBucket,
+            fn_constructor_kwargs=dict(state_dir=self.state_dir, with_sha=with_sha),
+            batch_format="pyarrow", batch_size=4,
+            concurrency=self.normalize_concurrency or self._default_concurrency(),
+        )
+
+    def final_table(self, with_sha: bool = True) -> pa.Table:
+        """Driver-side materialization (tests / small results only)."""
+        reader = _ReadBucket(self.state_dir, with_sha)
+        buckets = sorted(load_all_manifests(self.state_dir))
+        t = reader(pa.table({"bucket": pa.array(buckets, pa.int32())}))
+        return t.sort_by([("repo", "ascending"), ("path", "ascending")]) if t.num_rows else t
+
+    def lineage(self) -> dict[int, BucketManifest]:
+        return load_all_manifests(self.state_dir)

@@ -1,0 +1,70 @@
+"""Schema evolution: rename-alias mapping + Arrow schema unification.
+
+Generalizes the reference's three evolution mechanisms (SURVEY.md §1.3):
+  1. strict validation  — declared core columns must exist after remapping
+     (reference pydantic ``extra="forbid"``, /root/reference/userCode/wrd/types.py:251),
+  2. alias/rename on read — declarative remap table
+     (reference ``Field(alias=...)``, /root/reference/userCode/wrd/types.py:207;
+      ontology term remap, /root/reference/userCode/ontology.py:60-328),
+  3. open schema — unknown upstream columns survive into the unified schema
+     (reference ``extra="allow"``, /root/reference/userCode/groundwater/wells.py:29-43).
+
+Column adds null-fill; widenings (e.g. int32 -> int64) resolve by permissive
+Arrow promotion. The target schema is planned once from Parquet file footers
+(metadata only — nothing is read), then every batch is cast to it inside
+``map_batches`` so all blocks agree.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+CORE_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+
+@dataclass(frozen=True)
+class EvolutionSpec:
+    """Declarative remap table: physical-column-name -> canonical name."""
+    renames: dict[str, str] = field(default_factory=lambda: {"language": "lang"})
+
+
+def plan_target_schema(paths: list[str], evolution: EvolutionSpec) -> pa.Schema:
+    """Unify the schemas of all input files (footer metadata only).
+
+    Renames are applied before unification; conflicting numeric widths promote
+    permissively (int32+int64 -> int64). Raises if a core column is missing
+    from the unified result (strict-validation mechanism).
+    """
+    schemas = []
+    for p in paths:
+        s = pads.dataset(p, format="parquet").schema
+        fields = [
+            pa.field(evolution.renames.get(f.name, f.name), f.type) for f in s
+        ]
+        schemas.append(pa.schema(fields))
+    unified = pa.unify_schemas(schemas, promote_options="permissive")
+    missing = [c for c in CORE_COLUMNS if unified.get_field_index(c) < 0]
+    if missing:
+        raise ValueError(f"input missing core columns after remap: {missing}")
+    # stable order: core columns first, extras in first-seen order
+    extras = [f for f in unified if f.name not in CORE_COLUMNS]
+    return pa.schema([unified.field(c) for c in CORE_COLUMNS] + extras)
+
+
+def conform_batch(batch: pa.Table, target: pa.Schema, evolution: EvolutionSpec) -> pa.Table:
+    """Rename -> null-fill missing -> safe-cast -> reorder to ``target``."""
+    renamed = batch.rename_columns(
+        [evolution.renames.get(c, c) for c in batch.column_names]
+    )
+    cols = []
+    for f in target:
+        idx = renamed.schema.get_field_index(f.name)
+        if idx < 0:
+            cols.append(pa.nulls(batch.num_rows, f.type))
+        else:
+            col = renamed.column(idx)
+            cols.append(col if col.type == f.type else col.cast(f.type))
+    return pa.table(dict(zip(target.names, cols)))

@@ -1,0 +1,47 @@
+"""Shared scalar/vector kernels used across stages.
+
+The reference's identity primitive is a deterministic content hash
+(``deterministic_hash``, /root/reference/userCode/util.py:30-37: md5 of the
+name reduced to k digits, 0 -> 1 fixup). The engine keeps the same idea with
+full-strength digests: md5/sha256 hex columns, plus the digit-reduced id for
+parity with the reference's golden tests
+(/root/reference/userCode/wrd/lib_test.py:77-102)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+
+def _digest_hex(values, algo) -> pa.Array:
+    out = [None if v is None else algo(v.encode()).hexdigest() for v in values]
+    return pa.array(out, pa.string())
+
+
+def md5_hex(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    return _digest_hex(col.to_pylist(), hashlib.md5)
+
+
+def sha256_hex(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    return _digest_hex(col.to_pylist(), hashlib.sha256)
+
+
+def deterministic_id(col: pa.Array | pa.ChunkedArray, digits: int = 10) -> pa.Array:
+    """md5(name) mod 10^digits, 0 -> 1 fixup (reference userCode/util.py:30-37)."""
+    out = []
+    mod = 10 ** digits
+    for v in col.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        h = int(hashlib.md5(v.encode()).hexdigest(), 16) % mod
+        out.append(h if h != 0 else 1)
+    return pa.array(out, pa.int64())
+
+
+def iso_utc(ts_col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Canonical ISO-8601 Z string (reference userCode/util.py:66-82)."""
+    import pyarrow.compute as pc
+
+    return pc.strftime(ts_col, format="%Y-%m-%dT%H:%M:%SZ")

