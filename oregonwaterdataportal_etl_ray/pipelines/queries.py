@@ -1,0 +1,653 @@
+"""The operator battery: one entry per implemented operator family from
+SURVEY.md §2, each with a DuckDB oracle where SQL can express it.
+
+Column names are IDENTICAL between the Ray result and the oracle SQL (the
+driver hashes values with columns sorted by name). Float aggregates are
+rounded the same way on both sides. Every pipeline streams: no take_all /
+to_pandas on large data; small-side joins broadcast; the only shuffles are
+the groupbys/sorts each operator inherently needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from ..functions.kernels import md5_hex
+from ..sources.readers import read_table, small_table
+from ..stages.ann import BruteForceTopK, final_topk
+from ..stages.dedup import BandExploder, MinHasher, SimHasher, bucket_pairs, exact_ngram_jaccard, hamming64
+from ..stages.joins import BroadcastLookup, MembershipFilter
+from ..stages.kernels import keep_last_by
+from ..stages.text import LangId, QualityScore, char_classes, normalized_fingerprint, token_count
+
+QUERIES: dict = {}
+ORACLE_SQL: dict = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+    return deco
+
+
+def _conc() -> tuple[int, int]:
+    return (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+
+
+def _round_cols(ndigits: int, cols: list[str]):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        for c in cols:
+            df[c] = df[c].round(ndigits)
+        return df
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# grouped reduce helper (LWW / argmax-per-key as a Dataset op)
+# ---------------------------------------------------------------------------
+
+def dataset_keep_last(ds, key_cols: list[str], order_cols: list[str],
+                      num_buckets: int = 32):
+    """Distributed keep-last-per-key: map-side combine -> one bucket shuffle
+    -> vectorized per-bucket reduce. The shuffle moves winners-per-block only."""
+    from ..cdc.merge import bucket_of_keys
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = keep_last_by(t, key_cols, order_cols)
+        if len(key_cols) == 1 and pa.types.is_integer(t.column(key_cols[0]).type):
+            b = pc.cast(pc.bit_wise_and(t.column(key_cols[0]), num_buckets - 1), pa.int32())
+        else:
+            joined = pc.binary_join_element_wise(
+                *[pc.cast(t.column(c), pa.string()) for c in key_cols], "\x1f")
+            b = pa.array(bucket_of_keys(joined, num_buckets), pa.int32())
+        return t.append_column("__bucket", b)
+
+    def reduce_group(t: pa.Table) -> pa.Table:
+        return keep_last_by(t, key_cols, order_cols).drop_columns(["__bucket"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("__bucket")
+              .map_groups(reduce_group, batch_format="pyarrow"))
+
+
+# ===========================================================================
+# M: projections / filters / normalizers / derived ids
+# ===========================================================================
+
+@_q("station_projection", """
+SELECT c_custkey AS station_id, c_name AS station_name, c_mktsegment AS segment
+FROM customer
+""")
+def station_projection(sf_dir: str):
+    """Alias/rename projection (M1; reference userCode/wrd/sta_generation.py:69-93)."""
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+    return ds.rename_columns({"c_custkey": "station_id", "c_name": "station_name",
+                              "c_mktsegment": "segment"})
+
+
+@_q("flag_filter", """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+""")
+def flag_filter(sf_dir: str):
+    """Availability-flag filter (M8; reference userCode/wrd/dag.py:130-133)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "O")).drop_columns(["o_orderstatus"]),
+        batch_format="pyarrow")
+
+
+@_q("quantity_filter", """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45
+""")
+def quantity_filter(sf_dir: str):
+    """Value-predicate filter (M7 analog; reference userCode/wrd/lib.py:88-93)."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    return ds.map_batches(lambda t: t.filter(pc.greater(t["l_quantity"], 45.0)),
+                          batch_format="pyarrow")
+
+
+@_q("derived_id", """
+SELECT doc_id, md5(text) AS content_md5 FROM documents
+""")
+def derived_id(sf_dir: str):
+    """Deterministic content-derived identity (M12; reference userCode/util.py:30-37)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "content_md5": md5_hex(t["text"])}),
+        batch_format="pyarrow")
+
+
+@_q("date_normalize", """
+SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso FROM events
+""")
+def date_normalize(sf_dir: str):
+    """Canonical UTC ISO-8601 normalization (M11; reference userCode/util.py:66-82)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        secs = pc.cast(pc.floor_temporal(t["ts"], unit="second"), pa.timestamp("s"))
+        return pa.table({"event_id": t["event_id"],
+                         "ts_iso": pc.strftime(secs, format="%Y-%m-%dT%H:%M:%SZ")})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ===========================================================================
+# A: aggregations
+# ===========================================================================
+
+@_q("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(sf_dir: str):
+    """Grouped multi-aggregate over the fact table (A1/A2 generalized)."""
+    from ray.data.aggregate import Count, Sum
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount"])
+
+    def add_disc(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    out = (ds.map_batches(add_disc, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                        Sum("l_extendedprice", alias_name="sum_base_price"),
+                        Sum("disc_price", alias_name="sum_disc_price"),
+                        Count(alias_name="count_order")))
+    return out.map_batches(_round_cols(2, ["sum_qty", "sum_base_price", "sum_disc_price"]),
+                           batch_format="pandas")
+
+
+@_q("watermark_ranges", """
+SELECT user_id, min(ts) AS ts_start, max(ts) AS ts_end, count(*) AS n_events
+FROM events GROUP BY user_id
+""")
+def watermark_ranges(sf_dir: str):
+    """Per-key phenomenonTime-style min/max watermark interval
+    (A1/T4; reference userCode/wrd/lib.py:120-128, helper_classes.py:131-162)."""
+    from ray.data.aggregate import Count, Max, Min
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return ds.groupby("user_id").aggregate(
+        Min("ts", alias_name="ts_start"), Max("ts", alias_name="ts_end"),
+        Count(alias_name="n_events"))
+
+
+@_q("grouped_minmax", """
+SELECT event_type, min(value) AS min_value, max(value) AS max_value, count(*) AS n
+FROM events GROUP BY event_type
+""")
+def grouped_minmax(sf_dir: str):
+    """Grouped max across keys (A2; reference userCode/awqms/dag_test.py:47-62)."""
+    from ray.data.aggregate import Count, Max, Min
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return ds.groupby("event_type").aggregate(
+        Min("value", alias_name="min_value"), Max("value", alias_name="max_value"),
+        Count(alias_name="n"))
+
+
+@_q("found_vs_created", """
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+""")
+def found_vs_created(sf_dir: str):
+    """Per-run counters (A3; reference userCode/groundwater/dag.py:64-79)."""
+    from ray.data.aggregate import Count
+    ds = read_table(sf_dir, "events", columns=["event_type"])
+    return ds.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+@_q("active_users", """
+SELECT user_id, count(*) AS n_events FROM events
+GROUP BY user_id HAVING count(*) >= 24
+""")
+def active_users(sf_dir: str):
+    """Result-count threshold filter (M9; reference userCode/awqms/types.py:49-52)."""
+    from ray.data.aggregate import Count
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    agg = ds.groupby("user_id").aggregate(Count(alias_name="n_events"))
+    return agg.map_batches(lambda t: t.filter(pc.greater_equal(t["n_events"], 24)),
+                           batch_format="pyarrow")
+
+
+@_q("hourly_event_counts", """
+SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       count(*) AS n
+FROM events GROUP BY 1, 2
+""")
+def hourly_event_counts(sf_dir: str):
+    """Tumbling-window aggregate (streaming trio, SURVEY.md §2.9)."""
+    from ray.data.aggregate import Count
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def trunc(t: pa.Table) -> pa.Table:
+        h = pc.strftime(pc.floor_temporal(t["ts"], unit="hour"), format="%Y-%m-%d %H:00:00")
+        return pa.table({"user_id": t["user_id"], "hour": h})
+    return ds.map_batches(trunc, batch_format="pyarrow") \
+             .groupby(["user_id", "hour"]).aggregate(Count(alias_name="n"))
+
+
+@_q("distinct_users", """
+SELECT DISTINCT user_id FROM events
+""")
+def distinct_users(sf_dir: str):
+    """Distinct (A5/D1; reference userCode/awqms/stations.py:31-33)."""
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    from ray.data.aggregate import Count
+    return ds.groupby("user_id").aggregate(Count(alias_name="__n")) \
+             .select_columns(["user_id"])
+
+
+@_q("union_distinct", """
+SELECT DISTINCT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
+""")
+def union_distinct(sf_dir: str):
+    """Union + distinct of two sources (D1/S11; reference userCode/awqms/stations.py:6-33)."""
+    from ray.data.aggregate import Count
+    c = read_table(sf_dir, "customer", columns=["c_nationkey"]) \
+        .rename_columns({"c_nationkey": "nationkey"})
+    s = read_table(sf_dir, "supplier", columns=["s_nationkey"]) \
+        .rename_columns({"s_nationkey": "nationkey"})
+    return c.union(s).groupby("nationkey").aggregate(Count(alias_name="__n")) \
+            .select_columns(["nationkey"])
+
+
+# ===========================================================================
+# J: joins
+# ===========================================================================
+
+@_q("broadcast_enrich", """
+SELECT o_orderkey, c_name, n_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+""")
+def broadcast_enrich(sf_dir: str):
+    """Broadcast small-side enrichment join (J1/J2/S6: ontology-dict pattern,
+    reference userCode/wrd/sta_generation.py:106-112). The two small sides are
+    pre-joined on the driver and shipped once via ray.put."""
+    cust = small_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    nat = small_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    lut = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "c_name", "n_name"]]
+    ref = ray.put(lut.set_index("c_custkey"))
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    out = ds.map_batches(BroadcastLookup,
+                         fn_constructor_kwargs=dict(lookup_ref=ref, stream_key="o_custkey",
+                                                    take_cols=["c_name", "n_name"]),
+                         batch_format="pyarrow", concurrency=_conc())
+    return out.select_columns(["o_orderkey", "c_name", "n_name"])
+
+
+@_q("three_table_join", """
+SELECT l_orderkey, l_linenumber, o_orderdate, c_mktsegment
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+""")
+def three_table_join(sf_dir: str):
+    """3-way join (J3: the xlsx sheet joins, reference
+    userCode/xlsx/helpers.py:112-174) via Ray Data's hash-partitioned join."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    j1 = li.join(orders, join_type="inner", num_partitions=8,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+    j2 = j1.join(cust, join_type="inner", num_partitions=8,
+                 on=("o_custkey",), right_on=("c_custkey",))
+    return j2.select_columns(["l_orderkey", "l_linenumber", "o_orderdate", "c_mktsegment"])
+
+
+@_q("anti_join_customers", """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+""")
+def anti_join_customers(sf_dir: str):
+    """Anti-join vs sink ids (J4; reference userCode/awqms/dag.py:158-179):
+    broadcast the committed-id set, filter membership vectorized. Semantics:
+    customers with no OPEN order (the 'not yet in sink' set)."""
+    orders = small_table(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    keys = ray.put(np.sort(orders.loc[orders["o_orderstatus"] == "O", "o_custkey"].unique()))
+    ds = read_table(sf_dir, "customer", columns=["c_custkey"])
+    return ds.map_batches(MembershipFilter,
+                          fn_constructor_kwargs=dict(keys_ref=keys, col="c_custkey", keep=False),
+                          batch_format="pyarrow", concurrency=_conc())
+
+
+@_q("semi_join_suppliers", """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_nationkey IN (SELECT DISTINCT c_nationkey FROM customer)
+""")
+def semi_join_suppliers(sf_dir: str):
+    cust = small_table(sf_dir, "customer", columns=["c_nationkey"])
+    keys = ray.put(np.sort(cust["c_nationkey"].unique()))
+    ds = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"])
+    out = ds.map_batches(MembershipFilter,
+                         fn_constructor_kwargs=dict(keys_ref=keys, col="s_nationkey", keep=True),
+                         batch_format="pyarrow", concurrency=_conc())
+    return out.select_columns(["s_suppkey", "s_name"])
+
+
+# ===========================================================================
+# sort / top-k / LWW
+# ===========================================================================
+
+@_q("topk_orders", """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""")
+def topk_orders(sf_dir: str):
+    """Sort-desc + limit (§2.7; reference userCode/wrd/dag_test.py:98-110)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort([("o_totalprice"), ("o_orderkey")], descending=[True, False]).limit(10)
+
+
+@_q("latest_event_per_user", """
+SELECT user_id, event_type AS last_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+""")
+def latest_event_per_user(sf_dir: str):
+    """THE LWW kernel as a query (D3; reference
+    userCode/groundwater/wells.py:347-378): version order (ts, event_id)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "value", "ts", "event_id"])
+    out = dataset_keep_last(ds, ["user_id"], ["ts", "event_id"])
+    return out.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"], "last_type": t["event_type"],
+                            "last_value": t["value"]}), batch_format="pyarrow")
+
+
+@_q("cdc_current_state", """
+SELECT user_id, event_type, value AS current_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+""")
+def cdc_current_state(sf_dir: str):
+    """Composite-key LWW upsert view of an event stream (the engine's merge
+    applied to the shared events table)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "value", "ts", "event_id"])
+    out = dataset_keep_last(ds, ["user_id", "event_type"], ["ts", "event_id"])
+    return out.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"], "event_type": t["event_type"],
+                            "current_value": t["value"]}), batch_format="pyarrow")
+
+
+# ===========================================================================
+# documents: dedup + text analysis
+# ===========================================================================
+
+@_q("exact_dedup", """
+SELECT md5(text) AS text_md5, min(doc_id) AS first_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""")
+def exact_dedup(sf_dir: str):
+    """Exact dedup by content hash (D2 generalized): hash -> groupby -> first."""
+    from ray.data.aggregate import Count, Min
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    hashed = ds.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "text_md5": md5_hex(t["text"])}),
+        batch_format="pyarrow")
+    return hashed.groupby("text_md5").aggregate(
+        Min("doc_id", alias_name="first_doc_id"), Count(alias_name="n_copies"))
+
+
+@_q("token_counts", """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+FROM documents
+""")
+def token_counts(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(lambda t: token_count(t).drop_columns(["text"]),
+                          batch_format="pyarrow")
+
+
+@_q("char_class_counts", """
+SELECT doc_id, length(text) AS n_chars_exact,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+FROM documents
+""")
+def char_class_counts(sf_dir: str):
+    """Quality-score integer components (text analysis)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = char_classes(t)
+        return pa.table({"doc_id": out["doc_id"],
+                         "n_chars_exact": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+                         "n_alpha": out["n_alpha"], "n_digit": out["n_digit"]})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@_q("doc_fingerprint", """
+SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""")
+def doc_fingerprint(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(lambda t: normalized_fingerprint(t).select(["doc_id", "fingerprint"]),
+                          batch_format="pyarrow")
+
+
+@_q("lang_doc_stats", """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents GROUP BY lang
+""")
+def lang_doc_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"),
+                                        Sum("n_chars", alias_name="total_chars"))
+
+
+# --- non-SQL-expressible ops (rows-only checks) ---------------------------
+
+@_q("quality_scores")
+def quality_scores(sf_dir: str):
+    """Heuristic quality scoring (float score; integer parts tested in SQL
+    via char_class_counts)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(QualityScore, fn_constructor_kwargs=dict(),
+                         batch_format="pyarrow", concurrency=_conc())
+    return out.select_columns(["doc_id", "n_stopwords", "alpha_ratio", "quality_score"])
+
+
+@_q("langid_pred")
+def langid_pred(sf_dir: str):
+    """Marker-n-gram language ID (model-free heuristic)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = ds.map_batches(LangId, fn_constructor_kwargs=dict(),
+                         batch_format="pyarrow", concurrency=_conc())
+    return out.select_columns(["doc_id", "lang", "lang_pred", "lang_score"])
+
+
+@_q("minhash_near_dup")
+def minhash_near_dup(sf_dir: str):
+    """MinHash+LSH near-dup candidates with estimated Jaccard >= 0.5.
+
+    shingle -> minhash (actor pool) -> band-explode -> groupby(band) ->
+    in-bucket pairs -> dedup pairs -> verify estimate from signatures."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    sigs = ds.map_batches(MinHasher, fn_constructor_kwargs=dict(num_perm=64, k=5),
+                          batch_format="pyarrow", concurrency=_conc())
+    sig_pd = sigs.select_columns(["doc_id", "minhash"]).to_pandas()  # small at test scale;
+    # at 100 TB the verify side would re-join signatures by id instead
+    sig_map = {int(r.doc_id): np.asarray(r.minhash, dtype=np.uint64)
+               for r in sig_pd.itertuples()}
+    bands = sigs.map_batches(BandExploder, fn_constructor_kwargs=dict(num_bands=16),
+                             batch_format="pyarrow", concurrency=_conc())
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        lambda g: bucket_pairs(g), batch_format="pyarrow")
+    pairs_pd = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
+    if len(pairs_pd) == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                         "est_jaccard": pa.array([], pa.float64())})
+    est = [float((sig_map[a] == sig_map[b]).mean())
+           for a, b in zip(pairs_pd["id_a"], pairs_pd["id_b"])]
+    pairs_pd["est_jaccard"] = est
+    out = pairs_pd[pairs_pd["est_jaccard"] >= 0.5][["id_a", "id_b", "est_jaccard"]]
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+@_q("ngram_jaccard_dup")
+def ngram_jaccard_dup(sf_dir: str):
+    """Exact n-gram Jaccard verification of LSH candidates (two-stage near-dup)."""
+    cand = QUERIES["minhash_near_dup"](sf_dir)
+    cand_pd = cand.to_pandas() if not isinstance(cand, pa.Table) else cand.to_pandas()
+    docs = small_table(sf_dir, "documents", columns=["doc_id", "text"]).set_index("doc_id")
+    rows = []
+    for a, b in zip(cand_pd["id_a"], cand_pd["id_b"]):
+        j = exact_ngram_jaccard(docs.loc[int(a), "text"], docs.loc[int(b), "text"], k=5)
+        if j >= 0.6:
+            rows.append((int(a), int(b), round(j, 6)))
+    return pa.table({"id_a": pa.array([r[0] for r in rows], pa.int64()),
+                     "id_b": pa.array([r[1] for r in rows], pa.int64()),
+                     "jaccard": pa.array([r[2] for r in rows], pa.float64())})
+
+
+@_q("simhash_near_dup")
+def simhash_near_dup(sf_dir: str):
+    """SimHash near-dup: 64-bit fingerprints, hamming <= 8 within 16-bit bands."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    hashed = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(k=5),
+                            batch_format="pyarrow", concurrency=_conc())
+    hp = hashed.select_columns(["doc_id", "simhash"]).to_pandas()
+    sh = hp["simhash"].to_numpy().astype(np.uint64)
+    ids = hp["doc_id"].to_numpy()
+    # LSH on 4 x 16-bit bands: candidates share at least one exact band
+    cands = set()
+    for band in range(4):
+        key = (sh >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        ends = np.r_[starts[1:], len(ks)]
+        for s, e in zip(starts, ends):
+            if 2 <= e - s <= 50:
+                grp = order[s:e]
+                for i in range(len(grp)):
+                    for j in range(i + 1, len(grp)):
+                        a, b = sorted((int(ids[grp[i]]), int(ids[grp[j]])))
+                        cands.add((a, b))
+    if not cands:
+        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    ca = np.array([c[0] for c in cands]); cb = np.array([c[1] for c in cands])
+    pos = {int(v): i for i, v in enumerate(ids)}
+    d = hamming64(sh[[pos[int(x)] for x in ca]], sh[[pos[int(x)] for x in cb]])
+    keep = d <= 8
+    return pa.table({"id_a": pa.array(ca[keep], pa.int64()),
+                     "id_b": pa.array(cb[keep], pa.int64()),
+                     "hamming": pa.array(d[keep].astype(np.int64))})
+
+
+# ===========================================================================
+# embeddings: norms + ANN
+# ===========================================================================
+
+@_q("embedding_norms", """
+SELECT vec_id,
+       ROUND(sqrt(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2_norm
+FROM embeddings
+""")
+def embedding_norms(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        from ..stages.ann import _matrix
+        m = _matrix(t["embedding"]).astype(np.float64)
+        return pa.table({"vec_id": t["vec_id"],
+                         "l2_norm": pa.array(np.round(np.sqrt((m * m).sum(axis=1)), 4))})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@_q("ann_topk", """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4)
+SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (
+  SELECT q.qid, e.vec_id,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC,
+                                     e.vec_id) AS rank
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+WHERE rank <= 5
+""")
+def ann_topk(sf_dir: str):
+    """Brute-force cosine top-k: broadcast query matrix, per-batch partial
+    top-k (float32 matmul), tiny final reduce per query."""
+    import pyarrow.parquet as pq
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt["vec_id"], 4))
+    from ..stages.ann import _matrix
+    qref = ray.put({"ids": qt["vec_id"].to_numpy(zero_copy_only=False),
+                    "matrix": _matrix(qt["embedding"])})
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    partial = ds.map_batches(BruteForceTopK,
+                             fn_constructor_kwargs=dict(queries_ref=qref, k=5),
+                             batch_format="pyarrow", concurrency=_conc())
+    out = partial.groupby("query_id").map_groups(lambda g: final_topk(g, k=5),
+                                                 batch_format="pandas")
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+@_q("multimodal_payload_stats", """
+SELECT doc_id, octet_length(encode(text)) AS payload_bytes, md5(text) AS payload_md5
+FROM documents
+""")
+def multimodal_payload_stats(sf_dir: str):
+    """Opaque-payload metadata pass: the documents' text bytes stand in for a
+    binary media column (see stages/multimodal.py for the decode stubs)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "payload_bytes": pc.cast(pc.binary_length(t["text"]), pa.int64()),
+                         "payload_md5": md5_hex(t["text"])})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@_q("multimodal_decode")
+def multimodal_decode(sf_dir: str):
+    """STUB decode pipeline over opaque payloads (actor pool, small batches)."""
+    from ..stages.multimodal import FakeDecoder
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    as_bin = ds.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "payload": pc.cast(t["text"], pa.binary())}),
+        batch_format="pyarrow")
+    return as_bin.map_batches(FakeDecoder, fn_constructor_kwargs=dict(),
+                              batch_format="pyarrow", batch_size=32,
+                              concurrency=_conc())
+
+
+# ===========================================================================
+# flagship pipeline (entry())
+# ===========================================================================
+
+def flagship(sf_dir: str):
+    """Flagship: CDC-style LWW current-state view of the event stream,
+    enriched and aggregated — read -> map_batches -> LWW merge -> aggregate."""
+    from ray.data.aggregate import Count, Max
+    current = dataset_keep_last(
+        read_table(sf_dir, "events",
+                   columns=["user_id", "event_type", "value", "ts", "event_id"]),
+        ["user_id", "event_type"], ["ts", "event_id"])
+    return current.groupby("event_type").aggregate(
+        Count(alias_name="n_keys"), Max("value", alias_name="max_current_value"))

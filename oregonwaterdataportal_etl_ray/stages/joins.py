@@ -1,0 +1,86 @@
+"""Join strategies, Ray-Data-first.
+
+The reference only ever joins a big stream against a SMALL side — the
+ontology dict (~280 rows, /root/reference/userCode/wrd/sta_generation.py:106-112),
+a station-metadata record (/root/reference/userCode/wrd/dag.py:106-120), the
+xlsx sheet dicts (/root/reference/userCode/xlsx/helpers.py:112-174), or a
+sink-id set for anti-joins (/root/reference/userCode/awqms/dag.py:158-179).
+
+At 100 TB those become:
+  * BroadcastLookup — small side materialized ONCE on the driver, shipped via
+    ``ray.put`` (one object-store copy per node, zero-copy reads), looked up
+    vectorized inside every ``map_batches`` task. No shuffle at all.
+  * broadcast_key_set — semi/anti joins as a broadcast membership filter
+    (at larger small-sides swap the set for a Bloom filter; same shape).
+  * Both-sides-large joins use ``Dataset.join`` (hash-partitioned) — see
+    pipelines/queries.py:three_table_join for the partitioned variant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def put_lookup(df: pd.DataFrame, key: str) -> "ray.ObjectRef":
+    """Driver-side: index a small table by key and put it in the object store."""
+    return ray.put(df.set_index(key))
+
+
+class BroadcastLookup:
+    """map_batches actor stage: enrich a stream with columns from a small side.
+
+    ``__init__`` resolves the object ref once per actor (the reference's
+    build-once ontology-mapping pattern, /root/reference/userCode/ontology.py:331-382);
+    ``__call__`` is a vectorized pandas reindex per batch.
+
+    ``on_miss``: 'null' (left join, default), 'drop' (inner), 'error'
+    (the reference's KeyError-on-miss contract,
+    /root/reference/userCode/xlsx/helpers.py:112-118).
+    """
+
+    def __init__(self, lookup_ref, stream_key: str, take_cols: list[str],
+                 on_miss: str = "null"):
+        self.lookup = ray.get(lookup_ref) if isinstance(lookup_ref, ray.ObjectRef) else lookup_ref
+        self.stream_key = stream_key
+        self.take_cols = take_cols
+        self.on_miss = on_miss
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.stream_key).to_pandas()
+        sub = self.lookup[self.take_cols].reindex(keys)
+        if self.on_miss == "error":
+            missing = sub[self.take_cols[0]].isna()
+            if missing.any():
+                raise KeyError(f"{int(missing.sum())} stream keys missing from lookup "
+                               f"(first: {keys[missing.values].iloc[0]!r})")
+        elif self.on_miss == "drop":
+            keep = ~sub[self.take_cols[0]].isna().values
+            batch = batch.filter(pa.array(keep))
+            sub = sub[~sub[self.take_cols[0]].isna().values]
+        for c in self.take_cols:
+            batch = batch.append_column(c, pa.array(sub[c].values))
+        return batch
+
+
+def broadcast_key_set(values) -> "ray.ObjectRef":
+    """Driver-side: broadcast a key set for semi/anti membership filters."""
+    return ray.put(np.sort(np.asarray(values)))
+
+
+class MembershipFilter:
+    """map_batches actor stage: semi (keep=True) / anti (keep=False) join
+    against a broadcast sorted key array (np.isin is a vectorized merge)."""
+
+    def __init__(self, keys_ref, col: str, keep: bool):
+        self.keys = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+        self.col = col
+        self.keep = keep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = batch.column(self.col).to_numpy(zero_copy_only=False)
+        mask = np.isin(vals, self.keys)
+        return batch.filter(pa.array(mask if self.keep else ~mask))

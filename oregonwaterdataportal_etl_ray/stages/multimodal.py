@@ -1,0 +1,95 @@
+"""Multimodal (image/audio/video) stages — opaque binary columns + typed metadata.
+
+The decode kernels themselves are STUBBED (no image/audio libraries in this
+container): ``FakeDecoder`` produces deterministic pseudo-pixels so the
+Ray-side plumbing — schema, small batch sizes for large payloads, actor-pool
+signature, output layout — is real and tested. Swap ``_decode`` for a real
+PIL/ffmpeg call in deployment; nothing else changes.
+
+Design notes for 100 TB of media:
+  - payloads are ``large_binary`` columns; blocks must stay size-bounded, so
+    these stages are meant to run with small ``batch_size`` (e.g. 32) and
+    ``DataContext.target_max_block_size`` tuned down;
+  - decode/feature stages are actor pools (codec init once per actor);
+  - outputs keep (id, metadata, feature) and DROP the raw payload as early
+    as possible so the object store holds features, not media.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+class PayloadStats:
+    """Cheap metadata pass: byte size + content digest of a binary column."""
+
+    def __init__(self, payload_col: str = "payload"):
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.payload_col]
+        sizes = [len(v) if v is not None else 0 for v in col.to_pylist()]
+        digests = [hashlib.md5(v).hexdigest() if v is not None else None
+                   for v in col.to_pylist()]
+        out = batch.append_column("payload_bytes", pa.array(sizes, pa.int64()))
+        return out.append_column("payload_md5", pa.array(digests, pa.string()))
+
+
+class FakeDecoder:
+    """STUB image decode -> (height, width, mean_intensity) features.
+
+    Deterministic: features derive from the payload's md5, so tests are
+    stable. A real deployment replaces ``_decode`` with e.g. PIL.Image.open;
+    raise NotImplementedError there if no codec is available."""
+
+    def __init__(self, payload_col: str = "payload", drop_payload: bool = True):
+        self.payload_col = payload_col
+        self.drop_payload = drop_payload
+
+    def _decode(self, payload: bytes) -> tuple[int, int, float]:
+        d = hashlib.md5(payload).digest()
+        h = 16 + d[0] % 64
+        w = 16 + d[1] % 64
+        mean = d[2] / 255.0
+        return h, w, mean
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._decode(v or b"") for v in batch[self.payload_col].to_pylist()]
+        out = batch
+        out = out.append_column("height", pa.array([f[0] for f in feats], pa.int32()))
+        out = out.append_column("width", pa.array([f[1] for f in feats], pa.int32()))
+        out = out.append_column("mean_intensity",
+                                pa.array([f[2] for f in feats], pa.float64()))
+        if self.drop_payload:
+            out = out.drop_columns([self.payload_col])
+        return out
+
+
+class FrameSampler:
+    """STUB video frame-sampling: emits ``n_frames`` pseudo-frame rows per
+    payload (flat_map shape: one input row -> several output rows)."""
+
+    def __init__(self, n_frames: int = 3, payload_col: str = "payload",
+                 id_col: str = "doc_id"):
+        self.n_frames = n_frames
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        payloads = batch[self.payload_col].to_pylist()
+        out_ids, out_frame, out_digest = [], [], []
+        for i, p in zip(ids, payloads):
+            p = p or b""
+            for f in range(self.n_frames):
+                out_ids.append(i)
+                out_frame.append(f)
+                out_digest.append(hashlib.md5(p + bytes([f])).hexdigest())
+        return pa.table({
+            self.id_col: pa.array(out_ids),
+            "frame_idx": pa.array(out_frame, pa.int32()),
+            "frame_md5": pa.array(out_digest, pa.string()),
+        })

@@ -1,0 +1,149 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All pure-Arrow / numpy vectorized map_batches functions over the
+``documents`` table (doc_id, text, lang, source, n_chars). Regexes that need
+compiling live in class ``__init__`` (once per actor), mirroring the
+reference's build-state-once pattern (/root/reference/userCode/ontology.py:331-382).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.kernels import md5_hex
+
+# ---------------------------------------------------------------------------
+# token counting / char classes — SQL-parity kernels (see oracle_sql)
+# ---------------------------------------------------------------------------
+
+def token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count; empty/whitespace-only text counts 0."""
+    trimmed = pc.utf8_trim_whitespace(batch[text_col])
+    n = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+    n = pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int32()), n)
+    return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
+
+
+def char_classes(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Counts of alpha / digit / whitespace codepoints (quality-score inputs)."""
+    t = batch[text_col]
+    out = batch
+    out = out.append_column("n_alpha", pc.cast(pc.count_substring_regex(t, "[A-Za-z]"), pa.int64()))
+    out = out.append_column("n_digit", pc.cast(pc.count_substring_regex(t, "[0-9]"), pa.int64()))
+    out = out.append_column("n_space", pc.cast(pc.count_substring_regex(t, r"\s"), pa.int64()))
+    return out
+
+
+def normalized_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Document fingerprint: md5 of whitespace-collapsed lowercased text."""
+    norm = pc.utf8_lower(pc.replace_substring_regex(batch[text_col], r"\s+", " "))
+    return batch.append_column("fingerprint", md5_hex(norm))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+class QualityScore:
+    """Heuristic document quality: length band + alpha ratio + stopword ratio.
+
+    Integer component columns are emitted alongside the float score so the
+    exact parts are oracle-checkable."""
+
+    STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.stop_re = r"(?i)\b(?:" + "|".join(self.STOPWORDS) + r")\b"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = batch[self.text_col]
+        n_chars = pc.cast(pc.utf8_length(t), pa.int64())
+        n_alpha = pc.cast(pc.count_substring_regex(t, "[A-Za-z]"), pa.int64())
+        n_stop = pc.cast(pc.count_substring_regex(t, self.stop_re), pa.int64())
+        nc = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
+        na = n_alpha.to_numpy(zero_copy_only=False).astype(np.float64)
+        ns = n_stop.to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            alpha_ratio = np.where(nc > 0, na / nc, 0.0)
+            stop_per_100 = np.where(nc > 0, 100.0 * ns / nc, 0.0)
+        len_score = np.clip(nc / 1000.0, 0.0, 1.0)
+        score = 0.4 * len_score + 0.4 * alpha_ratio + 0.2 * np.clip(stop_per_100 / 3.0, 0, 1)
+        out = batch.append_column("n_stopwords", n_stop)
+        out = out.append_column("alpha_ratio", pa.array(np.round(alpha_ratio, 6)))
+        out = out.append_column("quality_score", pa.array(np.round(score, 6)))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# language ID (character n-gram heuristic — no external models available)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ("the ", " and ", " of ", " is ", " that "),
+    "de": (" der ", " und ", " die ", " ist ", " nicht "),
+    "fr": (" le ", " la ", " et ", " les ", " est "),
+    "es": (" el ", " de ", " que ", " los ", " es "),
+}
+
+
+class LangId:
+    """Marker-n-gram language scorer: argmax of per-language marker hits.
+
+    Deterministic heuristic (ties -> 'en' by fixed language order); a real
+    deployment would swap in fasttext inside the same actor shape."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.langs = list(_LANG_MARKERS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch[self.text_col])
+        scores = np.zeros((batch.num_rows, len(self.langs)), dtype=np.int64)
+        for j, lang in enumerate(self.langs):
+            for marker in _LANG_MARKERS[lang]:
+                scores[:, j] += pc.count_substring(t, marker).to_numpy(zero_copy_only=False)
+        pred = np.asarray(self.langs, dtype=object)[np.argmax(scores, axis=1)]
+        pred = np.where(scores.max(axis=1) == 0, "unknown", pred)
+        out = batch.append_column("lang_pred", pa.array(pred, pa.string()))
+        return out.append_column("lang_score", pa.array(scores.max(axis=1)))
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash shingle fingerprints (winnowing-style, for near-dup / plagiarism)
+# ---------------------------------------------------------------------------
+
+class RollingFingerprints:
+    """k-gram rolling hashes + window minima (winnowing). Emits one row per
+    document with a list<uint64> fingerprint column."""
+
+    def __init__(self, k: int = 8, window: int = 4, text_col: str = "text"):
+        self.k = k
+        self.window = window
+        self.text_col = text_col
+
+    def _fingerprint(self, s: str) -> list[int]:
+        k, w = self.k, self.window
+        if len(s) < k:
+            return []
+        b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+        if len(b) < k:
+            return []
+        base = np.uint64(1000003)
+        h = np.zeros(len(b) - k + 1, dtype=np.uint64)
+        acc = np.zeros(len(b) - k + 1, dtype=np.uint64)
+        for i in range(k):  # k is small (8): k vectorized passes, not a row loop
+            acc = acc * base + b[i:len(b) - k + 1 + i].astype(np.uint64)
+        h = acc
+        if len(h) <= w:
+            return [int(h.min())]
+        mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+        return np.unique(mins).tolist()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [self._fingerprint(s or "") for s in batch[self.text_col].to_pylist()]
+        return batch.append_column("fingerprints", pa.array(fps, pa.list_(pa.uint64())))

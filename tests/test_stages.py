@@ -1,0 +1,138 @@
+"""Operator-unit tests for the stage kernels (SURVEY.md §5 layer (a)):
+golden values for hashes/ids, first/last-wins dedup, near-dup detection on
+planted duplicates, ANN on planted neighbors, multimodal stub plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from oregonwaterdataportal_etl_ray.functions.kernels import deterministic_id, md5_hex, sha256_hex
+from oregonwaterdataportal_etl_ray.stages.ann import BruteForceTopK, HyperplaneLSH, _matrix, final_topk
+from oregonwaterdataportal_etl_ray.stages.dedup import (
+    BandExploder, MinHasher, SimHasher, bucket_pairs, exact_ngram_jaccard, hamming64)
+from oregonwaterdataportal_etl_ray.stages.kernels import keep_first_by, keep_last_by
+from oregonwaterdataportal_etl_ray.stages.multimodal import FakeDecoder, FrameSampler, PayloadStats
+from oregonwaterdataportal_etl_ray.stages.text import LangId, QualityScore, token_count
+
+
+# ---- golden hash values (fixed forever, like reference wrd/lib_test.py:77-102)
+
+def test_hash_goldens():
+    col = pa.array(["abc", None, ""])
+    assert md5_hex(col).to_pylist() == [
+        "900150983cd24fb0d6963f7d28e17f72", None,
+        "d41d8cd98f00b204e9800998ecf8427e"]
+    assert sha256_hex(col).to_pylist()[0] == \
+        "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+    ids = deterministic_id(pa.array(["station-1"]), digits=5).to_pylist()
+    assert ids == [deterministic_id(pa.array(["station-1"]), digits=5).to_pylist()[0]]
+    assert 0 < ids[0] < 10 ** 5
+
+
+def test_keep_last_and_first():
+    t = pa.table({"k": ["a", "a", "b"], "v": [1, 2, 3], "o": [10, 20, 5]})
+    last = keep_last_by(t, ["k"], ["o"]).sort_by("k")
+    assert last["v"].to_pylist() == [2, 3]
+    first = keep_first_by(t, ["k"], ["o"]).sort_by("k")
+    assert first["v"].to_pylist() == [1, 3]
+
+
+def test_keep_last_multi_order_tiebreak():
+    t = pa.table({"k": ["a"] * 3, "v": [1, 2, 3], "o1": [5, 5, 4], "o2": [1, 2, 0]})
+    assert keep_last_by(t, ["k"], ["o1", "o2"])["v"].to_pylist() == [2]
+
+
+# ---- text
+
+def test_token_count_edges():
+    t = pa.table({"text": ["one two  three", "", "   ", "solo"]})
+    assert token_count(t)["n_tokens"].to_pylist() == [3, 0, 0, 1]
+
+
+def test_quality_and_langid_deterministic():
+    t = pa.table({"text": ["The cat and the dog, it is that good for all.",
+                           "zzzz 12345 !!!"]})
+    q1 = QualityScore()(t)
+    q2 = QualityScore()(t)
+    assert q1["quality_score"].to_pylist() == q2["quality_score"].to_pylist()
+    assert q1["quality_score"][0].as_py() > q1["quality_score"][1].as_py()
+    lid = LangId()(pa.table({"text": ["the house and the tree is that big",
+                                      "der hund und die katze ist nicht da"]}))
+    assert lid["lang_pred"].to_pylist() == ["en", "de"]
+
+
+# ---- dedup
+
+def test_minhash_detects_planted_near_dup():
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about databases and rayon " * 20
+    mh = MinHasher(num_perm=64, k=5)
+    s_base, s_near, s_far = (mh.signature(x) for x in (base, near, far))
+    assert (s_base == s_near).mean() > 0.5
+    assert (s_base == s_far).mean() < 0.3
+    assert exact_ngram_jaccard(base, near) > 0.5
+    assert exact_ngram_jaccard(base, far) < 0.1
+
+
+def test_band_explode_and_pairs():
+    mh = MinHasher(num_perm=64, k=5)
+    t = pa.table({"doc_id": [1, 2], "text": ["aaa bbb ccc " * 10] * 2})
+    sigs = mh(t)
+    bands = BandExploder(num_bands=16)(sigs)
+    assert bands.num_rows == 32
+    # identical docs share every band -> pairs found in each bucket
+    g = bands.filter(pc.equal(bands["band_id"], 0))
+    pairs = bucket_pairs(g)
+    assert pairs.num_rows == 1
+    assert pairs["id_a"][0].as_py() == 1 and pairs["id_b"][0].as_py() == 2
+
+
+def test_simhash_hamming():
+    sh = SimHasher(k=5)
+    a = sh.simhash("the quick brown fox jumps over the lazy dog " * 10)
+    b = sh.simhash("the quick brown fox jumps over the sleepy dog " * 10)
+    c = sh.simhash("entirely unrelated text on astrophysics and stars " * 10)
+    d_ab = hamming64(np.array([a], dtype=np.uint64), np.array([b], dtype=np.uint64))[0]
+    d_ac = hamming64(np.array([a], dtype=np.uint64), np.array([c], dtype=np.uint64))[0]
+    assert d_ab < d_ac
+
+
+# ---- ann
+
+def test_bruteforce_topk_finds_planted_neighbor():
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((50, 16)).astype(np.float32)
+    m[7] = m[0] + 0.01 * rng.standard_normal(16).astype(np.float32)  # near-dup of 0
+    t = pa.table({"vec_id": pa.array(range(50), pa.int64()),
+                  "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32()))})
+    stage = BruteForceTopK({"ids": np.array([0]), "matrix": m[:1]}, k=3)
+    part = stage(t).to_pandas()
+    top = final_topk(part, k=3)
+    assert top.iloc[0]["neighbor_id"] == 7
+    assert top["rank"].tolist() == [1, 2, 3]
+
+
+def test_hyperplane_lsh_same_vector_same_bucket():
+    rng = np.random.default_rng(4)
+    m = rng.standard_normal((10, 16)).astype(np.float32)
+    t = pa.table({"embedding": pa.array([m[0].tolist()] * 2 + [m[1].tolist()],
+                                        pa.list_(pa.float32()))})
+    out = HyperplaneLSH(dim=16)(t)
+    b = out["lsh_bucket"].to_pylist()
+    assert b[0] == b[1]
+
+
+# ---- multimodal stubs
+
+def test_multimodal_plumbing():
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array([b"abc", b"defg"], pa.binary())})
+    stats = PayloadStats()(t)
+    assert stats["payload_bytes"].to_pylist() == [3, 4]
+    dec = FakeDecoder()(t)
+    assert "payload" not in dec.column_names
+    assert dec["height"].to_pylist() == FakeDecoder()(t)["height"].to_pylist()
+    frames = FrameSampler(n_frames=2)(t)
+    assert frames.num_rows == 4
+    assert frames["frame_idx"].to_pylist() == [0, 1, 0, 1]
