@@ -42,16 +42,46 @@ def key_column(t: pa.Table) -> pa.Array:
     return pc.binary_join_element_wise(t["repo"], t["path"], KEY_SEP)
 
 
+def _encode_keys(keys: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, pa.Array]:
+    """Dictionary-encode a key column: (codes per row, unique key values).
+
+    One C++ hash-table build shared by both bucketing and the LWW reduce —
+    per-row Python-object hashing never happens; only the (much smaller)
+    unique-key set is touched from Python.
+    """
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    enc = pc.dictionary_encode(keys)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64), enc.dictionary
+
+
 def bucket_of_keys(keys: pa.Array | pa.ChunkedArray, num_buckets: int) -> np.ndarray:
     """Deterministic hash bucket per key (stable across processes/nodes).
 
     pandas ``hash_array`` is a keyed siphash with a fixed default key — the
     same key maps to the same bucket on every node, which is what makes the
-    groupby-shuffle a consistent hash partitioning.
+    groupby-shuffle a consistent hash partitioning. Hashing runs over the
+    dictionary-encoded *unique* values only, then broadcasts via take.
     """
-    arr = np.asarray(keys.to_pylist() if isinstance(keys, pa.ChunkedArray) else keys.to_pylist(),
-                     dtype=object)
-    return (pd.util.hash_array(arr) % num_buckets).astype(np.int32)
+    codes, uniq = _encode_keys(keys)
+    uh = (pd.util.hash_array(np.asarray(uniq.to_pylist(), dtype=object))
+          % num_buckets).astype(np.int32)
+    return uh[codes]
+
+
+def _lww_mask(codes: np.ndarray, lsn: np.ndarray) -> np.ndarray | None:
+    """Row indices of the winner (max LSN) per key code; None = all rows win."""
+    if len(codes) <= 1:
+        return None
+    order = np.lexsort((lsn, codes))
+    sorted_codes = codes[order]
+    is_last = np.ones(len(order), dtype=bool)
+    is_last[:-1] = sorted_codes[1:] != sorted_codes[:-1]
+    if is_last.all():
+        return None
+    return order[is_last]
 
 
 def reduce_lww(t: pa.Table) -> pa.Table:
@@ -64,16 +94,12 @@ def reduce_lww(t: pa.Table) -> pa.Table:
     """
     if t.num_rows <= 1:
         return t
-    enc = pc.dictionary_encode(t.column("__key").combine_chunks())
-    if isinstance(enc, pa.ChunkedArray):
-        enc = enc.combine_chunks()
-    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    codes, _ = _encode_keys(t.column("__key"))
     lsn = t.column("lsn").to_numpy(zero_copy_only=False)
-    order = np.lexsort((lsn, codes))
-    sorted_codes = codes[order]
-    is_last = np.ones(len(order), dtype=bool)
-    is_last[:-1] = sorted_codes[1:] != sorted_codes[:-1]
-    return t.take(pa.array(order[is_last]))
+    winners = _lww_mask(codes, lsn)
+    if winners is None:
+        return t
+    return t.take(pa.array(np.sort(winners)))
 
 
 class NormalizeEvents:
@@ -113,14 +139,22 @@ class NormalizeEvents:
         t = t.append_column("lsn", parse_lsn(t["commit"]))
         keys = key_column(t)
         t = t.append_column("__key", keys)
-        buckets = bucket_of_keys(keys, self.num_buckets)
+        # one dictionary-encode shared by bucketing AND the partial LWW reduce
+        codes, uniq = _encode_keys(keys)
+        uh = (pd.util.hash_array(np.asarray(uniq.to_pylist(), dtype=object))
+              % self.num_buckets).astype(np.int32)
+        buckets = uh[codes]
         t = t.append_column("bucket", pa.array(buckets, pa.int32()))
+        lsn = t.column("lsn").to_numpy(zero_copy_only=False)
         if self.wm is not None:
-            lsn = t.column("lsn").to_numpy(zero_copy_only=False)
             keep = lsn > self.wm[buckets]
             if not keep.all():
                 t = t.filter(pa.array(keep))
-        return reduce_lww(t)
+                codes, lsn = codes[keep], lsn[keep]
+        winners = _lww_mask(codes, lsn)
+        if winners is None:
+            return t
+        return t.take(pa.array(np.sort(winners)))
 
 
 def merge_sorted_runs(tables: list[pa.Table]) -> pa.Table:

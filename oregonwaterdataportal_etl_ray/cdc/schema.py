@@ -38,13 +38,17 @@ def plan_target_schema(paths: list[str], evolution: EvolutionSpec) -> pa.Schema:
     permissively (int32+int64 -> int64). Raises if a core column is missing
     from the unified result (strict-validation mechanism).
     """
-    schemas = []
-    for p in paths:
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(p: str) -> pa.Schema:
         s = pads.dataset(p, format="parquet").schema
-        fields = [
-            pa.field(evolution.renames.get(f.name, f.name), f.type) for f in s
-        ]
-        schemas.append(pa.schema(fields))
+        return pa.schema(
+            [pa.field(evolution.renames.get(f.name, f.name), f.type) for f in s])
+
+    # footer reads are I/O-bound; a thread pool keeps planning off the
+    # critical path even for thousands of batch files
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        schemas = list(ex.map(one, paths))
     unified = pa.unify_schemas(schemas, promote_options="permissive")
     missing = [c for c in CORE_COLUMNS if unified.get_field_index(c) < 0]
     if missing:

@@ -71,38 +71,16 @@ def generate_change_events(out_dir: str, spec: GeneratorSpec) -> dict:
     rng = np.random.default_rng(spec.seed)
     n = spec.n_events
 
-    # --- logical event stream (LSN order) -------------------------------
+    # --- logical event stream (LSN order); integers only — string columns
+    # are materialized per batch slice so arbitrarily large event counts never
+    # exceed Arrow's 2 GiB single-array limit -----------------------------
     ranks = np.arange(1, spec.n_repos + 1, dtype=np.float64)
     w = ranks ** -spec.zipf_s
     w /= w.sum()
     repo_id = rng.choice(spec.n_repos, size=n, p=w)
     path_id = rng.integers(0, spec.paths_per_repo, size=n)
-    lsn = np.arange(1, n + 1, dtype=np.int64)
     is_delete = rng.random(n) < spec.delete_rate
     pad_len = rng.integers(0, spec.content_pad_max, size=n).astype(np.int32)
-
-    repo = pc.binary_join_element_wise(
-        pa.scalar("org"), _string(repo_id // 10), pa.scalar("/repo-"), _string(repo_id), ""
-    )
-    lang_arr = np.array(LANGS)[path_id % len(LANGS)]
-    path = pc.binary_join_element_wise(
-        pa.scalar("src/pkg_"), _string(path_id // 8), pa.scalar("/mod_"),
-        _string(path_id), pa.scalar("."), _string(lang_arr), ""
-    )
-    commit = pc.binary_join_element_wise(
-        pc.utf8_lpad(_string(lsn), 12, "0"),
-        _string(_hex8((lsn * 2654435761) % (1 << 32))),
-        "-",
-    )
-    body = pc.binary_join_element_wise(
-        pa.scalar("content|"), repo, pa.scalar("|"), path,
-        pa.scalar("|v"), _string(lsn), pa.scalar("|"),
-        pc.binary_repeat(pa.scalar("x"), pa.array(pad_len)), ""
-    )
-    content = pc.if_else(pa.array(~is_delete), body, pa.scalar(None, pa.string()))
-    size_bytes = pc.if_else(
-        pa.array(~is_delete), pc.binary_length(body), pa.scalar(None, pa.int32())
-    )
 
     # --- delivery order: bounded out-of-order + duplicate delivery ------
     batch_rows = -(-n // spec.n_batches)  # ceil
@@ -111,10 +89,31 @@ def generate_change_events(out_dir: str, spec: GeneratorSpec) -> dict:
                      rng.integers(-window, window, size=n), 0)
     order = np.argsort(np.arange(n) + noise, kind="stable").astype(np.int64)
 
-    table = pa.table({
-        "repo": repo, "path": path, "commit": commit,
-        "lang": _string(lang_arr), "content": content, "size_bytes": size_bytes,
-    }).take(pa.array(order))
+    def build_slice(idx: np.ndarray) -> pa.Table:
+        """Materialize the string columns for one delivery-order slice."""
+        r_id, p_id = repo_id[idx], path_id[idx]
+        lsn = idx + 1  # LSN of the logical event at position idx
+        dele = is_delete[idx]
+        repo = pc.binary_join_element_wise(
+            pa.scalar("org"), _string(r_id // 10), pa.scalar("/repo-"), _string(r_id), "")
+        lang_arr = np.array(LANGS)[p_id % len(LANGS)]
+        path = pc.binary_join_element_wise(
+            pa.scalar("src/pkg_"), _string(p_id // 8), pa.scalar("/mod_"),
+            _string(p_id), pa.scalar("."), _string(lang_arr), "")
+        commit = pc.binary_join_element_wise(
+            pc.utf8_lpad(_string(lsn), 12, "0"),
+            _string(_hex8((lsn * 2654435761) % (1 << 32))), "-")
+        body = pc.binary_join_element_wise(
+            pa.scalar("content|"), repo, pa.scalar("|"), path,
+            pa.scalar("|v"), _string(lsn), pa.scalar("|"),
+            pc.binary_repeat(pa.scalar("x"), pa.array(pad_len[idx])), "")
+        content = pc.if_else(pa.array(~dele), body, pa.scalar(None, pa.string()))
+        size_bytes = pc.if_else(
+            pa.array(~dele), pc.binary_length(body), pa.scalar(None, pa.int32()))
+        return pa.table({
+            "repo": repo, "path": path, "commit": commit,
+            "lang": _string(lang_arr), "content": content, "size_bytes": size_bytes,
+        })
 
     os.makedirs(out_dir, exist_ok=True)
     n_dups_total = 0
@@ -123,7 +122,7 @@ def generate_change_events(out_dir: str, spec: GeneratorSpec) -> dict:
         lo, hi = b * batch_rows, min((b + 1) * batch_rows, n)
         if lo >= hi:
             break
-        chunk = table.slice(lo, hi - lo)
+        chunk = build_slice(order[lo:hi])
         # duplicate delivery inside the same batch file (D2: must be a no-op)
         n_dups = int((hi - lo) * spec.dup_rate)
         if n_dups:

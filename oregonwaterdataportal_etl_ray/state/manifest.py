@@ -56,7 +56,9 @@ def atomic_write_bytes(final_path: str, data: bytes) -> None:
 def atomic_write_table(final_path: str, table: pa.Table) -> None:
     os.makedirs(os.path.dirname(final_path), exist_ok=True)
     tmp = _tmp_path(final_path)
-    pq.write_table(table, tmp)
+    # zstd: state-file I/O is the engine's non-scaling shared resource —
+    # trading (parallel) CPU for (serial) disk bandwidth wins at every scale
+    pq.write_table(table, tmp, compression="zstd", compression_level=1)
     os.replace(tmp, final_path)
 
 
