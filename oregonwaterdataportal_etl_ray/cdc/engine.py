@@ -234,30 +234,47 @@ class CdcEngine:
         ``planned``: pre-computed unified schema of these files (replay plans
         the whole file set once instead of per epoch — footer metadata only).
         """
+        target = self._resolve_schema(files, planned)
+        norm = self._normalized(files, target)
+        return self._merge_epoch(norm, files, epoch)
+
+    def _resolve_schema(self, files: list[str],
+                        planned: pa.Schema | None) -> pa.Schema:
+        """Unify the (pre-)planned input schema with any committed state schema
+        and persist the result."""
         old_schema = self.load_schema(self.state_dir)
         schemas = [s for s in [old_schema] if s is not None]
         target = planned if planned is not None else plan_target_schema(files, self.evolution)
         if schemas:
             target = pa.unify_schemas(schemas + [target], promote_options="permissive")
         self.save_schema(target)
+        return target
 
-        # NormalizeEvents holds only tiny state (schema + remap dict), so it
-        # runs as a TASK-pool UDF (instance, pickled per task): full
-        # parallelism from the first batch, no actor-pool ramp-up. Heavy-state
-        # stages (the merge, _ReadBucket) stay actor pools.
-        # Coarse blocks: per-block/task fixed costs dominate small blocks
-        # (measured 10x), so target ~4 read tasks per CPU slot and never split
-        # a file. On a multi-node cluster CPU count is the cluster total, so
-        # block count tracks cluster size exactly as it should.
+    def _normalized(self, files: list[str], target: pa.Schema) -> "ray.data.Dataset":
+        """Lazy read -> normalize pipeline for one epoch's batch files.
+
+        NormalizeEvents holds only tiny state (schema + remap dict), so it
+        runs as a TASK-pool UDF (instance, pickled per task): full
+        parallelism from the first batch, no actor-pool ramp-up.
+        Coarse blocks: per-block/task fixed costs dominate small blocks
+        (measured 10x), so target ~4 read tasks per CPU slot and never split
+        a file. On a multi-node cluster CPU count is the cluster total, so
+        block count tracks cluster size exactly as it should.
+        """
         cpus = int(ray.cluster_resources().get("CPU", 4))
         nblocks = max(1, min(len(files), 4 * cpus))
         ds = ray.data.read_parquet(files, override_num_blocks=nblocks)
-        ds = ds.map_batches(
+        return ds.map_batches(
             NormalizeEvents(target_schema=target, num_buckets=self.num_buckets,
                             evolution=self.evolution),
             batch_format="pyarrow",
             batch_size=self.normalize_batch_size,
         )
+
+    def _merge_epoch(self, norm: "ray.data.Dataset", files: list[str],
+                     epoch: int) -> dict:
+        """Shuffle one epoch's normalized winners to their buckets, merge, and
+        commit the epoch's lineage record."""
         merge = functools.partial(_merge_bucket, state_dir=self.state_dir,
                                   epoch=epoch, compact_every=self.compact_every)
         # Sort-based groupby shuffle on the int32 bucket column. Measured
@@ -265,7 +282,7 @@ class CdcEngine:
         # costs <1 core-sec per epoch vs ~70 core-sec for the hash-aggregator
         # path, because the combiner upstream already shrank the data and the
         # sort key is a single int32.
-        stats = ds.groupby("bucket").map_groups(merge, batch_format="pyarrow")
+        stats = norm.groupby("bucket").map_groups(merge, batch_format="pyarrow")
         st = stats.to_pandas()  # one row per touched bucket — small
         rec = {
             "epoch": epoch, "files": files,
@@ -288,22 +305,68 @@ class CdcEngine:
         groups = [files[i:i + epoch_size] for i in range(0, len(files), epoch_size)]
         done = self.committed_epochs()
         result = ReplayResult(epochs=list(done))
-        todo = [g for i, g in enumerate(groups) if i >= len(done)]
-        planned = plan_target_schema([f for g in todo for f in g],
-                                     self.evolution) if todo else None
-        for i, group in enumerate(groups):
-            if i < len(done):
-                continue  # committed epoch — resume without reprocessing
-            rec = self.apply_epoch(group, epoch=i, planned=planned)
-            result.epochs.append(rec)
-            if fail_after_epoch is not None and i + 1 >= fail_after_epoch and i + 1 < len(groups):
-                raise RuntimeError(f"injected failure after epoch {i}")
+        todo = [(i, g) for i, g in enumerate(groups) if i >= len(done)]
+        if todo:
+            planned = plan_target_schema([f for _, g in todo for f in g],
+                                         self.evolution)
+            if fail_after_epoch is not None:
+                # deterministic epoch-by-epoch path for kill/resume suites
+                for i, group in todo:
+                    result.epochs.append(self.apply_epoch(group, epoch=i,
+                                                          planned=planned))
+                    if i + 1 >= fail_after_epoch and i + 1 < len(groups):
+                        raise RuntimeError(f"injected failure after epoch {i}")
+            else:
+                result.epochs.extend(self._replay_pipelined(todo, planned))
         for rec in result.epochs:
             result.n_applied += rec["applied"]
             result.n_upserts += rec["upserts"]
             result.n_deletes += rec["deletes"]
             result.n_skipped += rec["skipped_stale"]
         return result
+
+    def _replay_pipelined(self, todo: list[tuple[int, list[str]]],
+                          planned: pa.Schema) -> list[dict]:
+        """Apply epochs in order, overlapping epoch i's (stateful, serialized)
+        shuffle+merge with epoch i+1's (stateless) read+normalize.
+
+        Merges stay strictly sequential — only one merge thread exists at a
+        time, so watermark/lineage semantics are identical to the serial path;
+        the overlap only hides the pipeline fill latency of the next epoch's
+        scan behind the current epoch's commit. ``materialize()`` here pins
+        ONE epoch's combined winners (not the input) in the object store —
+        bounded by epoch size, which is the micro-batch knob.
+        """
+        import threading
+
+        target = self._resolve_schema([f for _, g in todo for f in g], planned)
+        records: list[dict] = []
+        prev: tuple[threading.Thread, dict] | None = None
+
+        def run_merge(norm, files, epoch, box):
+            try:
+                box["rec"] = self._merge_epoch(norm, files, epoch)
+            except BaseException as e:  # surfaced on join
+                box["err"] = e
+
+        for i, group in todo:
+            norm = self._normalized(group, target).materialize()
+            if prev is not None:
+                prev[0].join()
+                if "err" in prev[1]:
+                    raise prev[1]["err"]
+                records.append(prev[1]["rec"])
+            box: dict = {}
+            th = threading.Thread(target=run_merge, args=(norm, group, i, box),
+                                  daemon=True)
+            th.start()
+            prev = (th, box)
+        if prev is not None:
+            prev[0].join()
+            if "err" in prev[1]:
+                raise prev[1]["err"]
+            records.append(prev[1]["rec"])
+        return records
 
     # ---- reads ---------------------------------------------------------
     def final_dataset(self, with_sha: bool = True) -> "ray.data.Dataset":

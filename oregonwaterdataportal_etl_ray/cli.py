@@ -1,0 +1,98 @@
+"""Job-submission CLI — the engine's `ray job submit` entry point.
+
+    ray job submit -- python -m oregonwaterdataportal_etl_ray.cli replay \
+        --events-dir /data/changelog --state-dir /lake/state --epoch-size 64
+
+Subcommands:
+  replay   apply all batch files under --events-dir in order (resumes from
+           the state dir's committed epoch lineage; safe to re-submit after
+           a kill — committed epochs are skipped).
+  export   materialize the merged current-state table to partitioned Parquet.
+  lineage  print per-bucket checkpoint lineage (last LSN, row counts, stats).
+
+Owns the Ray session only when standalone (guarded init, per driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _init():
+    import ray
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False)
+
+
+def _engine(args):
+    from .cdc.engine import CdcEngine
+    from .cdc.schema import EvolutionSpec
+    renames = dict(kv.split("=", 1) for kv in (args.rename or []))
+    return CdcEngine(args.state_dir, num_buckets=args.num_buckets,
+                     evolution=EvolutionSpec(renames=renames) if renames else None,
+                     compact_every=args.compact_every)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="oregonwaterdataportal-etl-ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    rp = sub.add_parser("replay")
+    rp.add_argument("--events-dir", required=True)
+    rp.add_argument("--state-dir", required=True)
+    rp.add_argument("--epoch-size", type=int, default=None,
+                    help="batch files per epoch (default: all in one epoch)")
+    rp.add_argument("--num-buckets", type=int, default=64)
+    rp.add_argument("--compact-every", type=int, default=4)
+    rp.add_argument("--rename", action="append", metavar="OLD=NEW",
+                    help="schema-evolution alias, e.g. language=lang")
+
+    xp = sub.add_parser("export")
+    xp.add_argument("--state-dir", required=True)
+    xp.add_argument("--out", required=True)
+    xp.add_argument("--num-buckets", type=int, default=64)
+    xp.add_argument("--compact-every", type=int, default=4)
+    xp.add_argument("--rename", action="append", metavar="OLD=NEW")
+    xp.add_argument("--no-sha", action="store_true")
+
+    lp = sub.add_parser("lineage")
+    lp.add_argument("--state-dir", required=True)
+    lp.add_argument("--num-buckets", type=int, default=64)
+    lp.add_argument("--compact-every", type=int, default=4)
+    lp.add_argument("--rename", action="append", metavar="OLD=NEW")
+
+    args = ap.parse_args(argv)
+    _init()
+    eng = _engine(args)
+
+    if args.cmd == "replay":
+        files = sorted(glob.glob(os.path.join(args.events_dir, "*.parquet")))
+        if not files:
+            print(f"no .parquet batch files under {args.events_dir}", file=sys.stderr)
+            return 2
+        res = eng.replay(files, epoch_size=args.epoch_size)
+        print(json.dumps({
+            "epochs": len(res.epochs), "applied": res.n_applied,
+            "upserts": res.n_upserts, "deletes": res.n_deletes,
+            "skipped_stale": res.n_skipped,
+        }))
+    elif args.cmd == "export":
+        ds = eng.final_dataset(with_sha=not args.no_sha)
+        ds.write_parquet(args.out)
+        print(json.dumps({"out": args.out, "rows": ds.count()}))
+    else:
+        lineage = {b: {"epoch": m.epoch, "last_applied_lsn": m.last_applied_lsn,
+                       "row_count": m.row_count, "runs": len(m.runs),
+                       "stats": m.stats}
+                   for b, m in sorted(eng.lineage().items())}
+        print(json.dumps(lineage, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

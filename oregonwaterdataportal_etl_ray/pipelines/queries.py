@@ -388,6 +388,69 @@ def cdc_current_state(sf_dir: str):
 
 
 # ===========================================================================
+# windows / sessions / explode
+# ===========================================================================
+
+@_q("event_lag", """
+SELECT user_id, event_id, value,
+       LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+FROM events
+""")
+def event_lag(sf_dir: str):
+    """Previous-row-per-key window (LAG): bucket users -> one vectorized
+    lexsort kernel per bucket (stages/window.py; the reference's
+    previous-observation watermark logic generalized,
+    userCode/wrd/dag.py:189-197)."""
+    from ..stages.window import add_user_bucket, lag_group
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    return (ds.map_batches(add_user_bucket, batch_format="pyarrow")
+              .groupby("__bucket")
+              .map_groups(lag_group, batch_format="pyarrow"))
+
+
+@_q("sessionize", """
+SELECT user_id, count(*) AS n_events,
+       CAST(1 + sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM (SELECT user_id,
+             epoch(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+      FROM events)
+GROUP BY user_id
+""")
+def sessionize(sf_dir: str):
+    """Gap-based sessionization (streaming window op): 30-min inactivity gap
+    starts a new session; counts per user."""
+    from ..stages.window import add_user_bucket, sessionize_group
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    out = (ds.map_batches(add_user_bucket, batch_format="pyarrow")
+             .groupby("__bucket")
+             .map_groups(sessionize_group, batch_format="pyarrow"))
+    return out.select_columns(["user_id", "n_events", "n_sessions"])
+
+
+@_q("token_explode", """
+SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+FROM documents WHERE doc_id < 50 AND trim(text) <> ''
+""")
+def token_explode(sf_dir: str):
+    """flat_map / explode (S5: the reference's nested-list flatten,
+    userCode/awqms/lib.py:124): whitespace-split then list-flatten with
+    parent indices — fully vectorized, no Python row loop."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["doc_id"], 50))
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        t = t.filter(pc.not_equal(trimmed, ""))
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]), r"\s+")
+        parents = pc.list_parent_indices(toks)
+        return pa.table({
+            "doc_id": pc.take(t["doc_id"], parents),
+            "token": pc.list_flatten(toks),
+        })
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ===========================================================================
 # documents: dedup + text analysis
 # ===========================================================================
 
@@ -605,6 +668,73 @@ def ann_topk(sf_dir: str):
     out = partial.groupby("query_id").map_groups(lambda g: final_topk(g, k=5),
                                                  batch_format="pandas")
     return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+@_q("embedding_near_dup", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+""")
+def embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (dedup family): broadcast the
+    normalized matrix once, row-partition the pair scan across tasks."""
+    import pyarrow.parquet as pq
+    from ..stages.ann import EmbedNearDup, _matrix
+    at = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    aref = ray.put({"ids": at["vec_id"].to_numpy(zero_copy_only=False),
+                    "matrix": _matrix(at["embedding"])})
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ds.map_batches(EmbedNearDup,
+                          fn_constructor_kwargs=dict(all_ref=aref, tau=0.4),
+                          batch_format="pyarrow", concurrency=_conc())
+
+
+@_q("ann_ivf")
+def ann_ivf(sf_dir: str):
+    """IVF-bucketed ANN (the ann_topk scale path): coarse centroids trained
+    once on the driver, cells assigned in map_batches, queries probe their 4
+    nearest cells only. Approximate — verified by recall vs brute force in
+    tests, rows-only here."""
+    import pyarrow.parquet as pq
+    from ..stages.ann import IVFAssign, IVFIndex, IVFTopK, _matrix, final_topk
+    at = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_m = _matrix(at["embedding"])
+    index = IVFIndex(all_m[: min(len(all_m), 4096)], n_cells=16)
+    qt = at.filter(pc.less(at["vec_id"], 4))
+    qm = _matrix(qt["embedding"])
+    qref = ray.put({"ids": qt["vec_id"].to_numpy(zero_copy_only=False), "matrix": qm})
+    iref = ray.put(index)
+    pref = ray.put(index.probe(qm, n_probe=4))
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assigned = ds.map_batches(IVFAssign, fn_constructor_kwargs=dict(index_ref=iref),
+                              batch_format="pyarrow", concurrency=_conc())
+    partial = assigned.map_batches(IVFTopK,
+                                   fn_constructor_kwargs=dict(queries_ref=qref,
+                                                              probes_ref=pref, k=5),
+                                   batch_format="pyarrow", concurrency=_conc())
+    out = partial.groupby("query_id").map_groups(lambda g: final_topk(g, k=5),
+                                                 batch_format="pandas")
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+@_q("partitioned_write", """
+SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag
+""")
+def partitioned_write(sf_dir: str):
+    """Resumable partitioned Parquet sink: write the fact table partitioned by
+    key directory (one dir per partition — a failed run skips finished
+    partitions), then read back per-partition counts for verification."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="graft_part_write_")
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    ds.write_parquet(out_dir, partition_cols=["l_returnflag"])
+    back = ray.data.read_parquet(out_dir)
+    from ray.data.aggregate import Count
+    out = back.groupby("l_returnflag").aggregate(Count(alias_name="n_rows"))
+    return out.map_batches(
+        lambda t: pa.table({"l_returnflag": pc.cast(t["l_returnflag"], pa.string()),
+                            "n_rows": t["n_rows"]}), batch_format="pyarrow")
 
 
 @_q("multimodal_payload_stats", """

@@ -70,6 +70,121 @@ def final_topk(group, k: int = 5):
     return g
 
 
+class EmbedNearDup:
+    """Embedding-cosine near-duplicate pairs (dedup family, SURVEY.md §2.8).
+
+    The full normalized matrix is broadcast once (``ray.put``); each
+    map_batches task emits pairs (id_a < id_b) whose cosine >= tau for ITS
+    rows only — the N x N work is row-partitioned across the cluster, the
+    reference side is read zero-copy from the object store. Scale path: for
+    corpora whose matrix exceeds node RAM, bucket with HyperplaneLSH first
+    and compare within buckets only."""
+
+    def __init__(self, all_ref, tau: float = 0.4, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        a = ray.get(all_ref) if isinstance(all_ref, ray.ObjectRef) else all_ref
+        self.all_ids = a["ids"]
+        am = a["matrix"].astype(np.float64)
+        self.all_norm = am / np.maximum(np.linalg.norm(am, axis=1, keepdims=True), 1e-30)
+        self.tau = tau
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch[self.vec_col]).astype(np.float64)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = mn @ self.all_norm.T               # (n_batch, N_all)
+        hit = (sims >= self.tau) & (ids[:, None] < self.all_ids[None, :])
+        r, c = np.nonzero(hit)
+        return pa.table({
+            "id_a": pa.array(ids[r], pa.int64()),
+            "id_b": pa.array(self.all_ids[c], pa.int64()),
+        })
+
+
+class IVFIndex:
+    """IVF (inverted-file) coarse quantizer for the ANN scale path.
+
+    Centroids are trained once on the driver (a few Lloyd iterations over a
+    deterministic sample) and broadcast; ``assign`` is a map_batches stage
+    adding the nearest-centroid cell id; a query probes only its ``n_probe``
+    closest cells, so the per-query candidate set shrinks by ~K/n_probe.
+    Partitioning assumption: search co-locates rows by cell (filter or
+    groupby on ``ivf_cell``)."""
+
+    def __init__(self, sample: np.ndarray, n_cells: int = 16, iters: int = 4,
+                 seed: int = 7):
+        rng = np.random.default_rng(seed)
+        x = sample.astype(np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+        for _ in range(iters):
+            assign = np.argmax(x @ cent.T, axis=1)
+            for c in range(len(cent)):
+                sel = x[assign == c]
+                if len(sel):
+                    v = sel.mean(axis=0)
+                    cent[c] = v / max(np.linalg.norm(v), 1e-30)
+        self.centroids = cent                     # (K, D), unit norm
+
+    def cell_of(self, m: np.ndarray) -> np.ndarray:
+        mn = m.astype(np.float64)
+        mn = mn / np.maximum(np.linalg.norm(mn, axis=1, keepdims=True), 1e-30)
+        return np.argmax(mn @ self.centroids.T, axis=1).astype(np.int32)
+
+    def probe(self, q: np.ndarray, n_probe: int) -> np.ndarray:
+        qn = q.astype(np.float64)
+        qn = qn / np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-30)
+        sims = qn @ self.centroids.T
+        return np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+
+
+class IVFAssign:
+    """map_batches stage: append the IVF cell id (broadcast centroids)."""
+
+    def __init__(self, index_ref, vec_col: str = "embedding"):
+        idx = ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
+        self.index = idx
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cells = self.index.cell_of(_matrix(batch[self.vec_col]))
+        return batch.append_column("ivf_cell", pa.array(cells))
+
+
+class IVFTopK(BruteForceTopK):
+    """Per-batch partial top-k that scores ONLY rows in each query's probed
+    cells (requires ``ivf_cell`` from IVFAssign)."""
+
+    def __init__(self, queries_ref, probes_ref, k: int = 5, **kw):
+        super().__init__(queries_ref, k=k, **kw)
+        p = ray.get(probes_ref) if isinstance(probes_ref, ray.ObjectRef) else probes_ref
+        self.probes = p                           # (Q, n_probe) cell ids
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cells = batch["ivf_cell"].to_numpy(zero_copy_only=False)
+        m = _matrix(batch[self.vec_col])
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = self.qnorm @ mn.T                  # (Q, N)
+        probed = (cells[None, :, None] == self.probes[:, None, :]).any(axis=2)
+        sims[~probed] = -np.inf
+        if self.exclude_self:
+            sims[self.qids[:, None] == ids[None, :]] = -np.inf
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows_q = np.repeat(self.qids, k)
+        rows_id = ids[part.reshape(-1)]
+        rows_sim = np.take_along_axis(sims, part, axis=1).reshape(-1)
+        keep = np.isfinite(rows_sim)
+        return pa.table({
+            "query_id": pa.array(rows_q[keep]),
+            "neighbor_id": pa.array(rows_id[keep]),
+            "cosine_sim": pa.array(rows_sim[keep].astype(np.float64)),
+        })
+
+
 class HyperplaneLSH:
     """Random-hyperplane LSH bucketing: vec -> int64 bucket of sign bits.
 

@@ -1,0 +1,72 @@
+"""Keyed window operators: lag (previous row per key) and gap sessionization.
+
+The reference has no window functions, but its per-datastream watermark logic
+is exactly "previous row per key" (/root/reference/userCode/wrd/dag.py:189-197
+computes the next fetch window from the previous observation's time); these
+generalize that to first-class operators.
+
+Scale design: rows are bucketed by hash(key) so the groupby shuffle produces
+ONE group per bucket (not one per key) — the per-group kernel is a single
+vectorized lexsort over the bucket, never a Python loop per key. Partitioning
+assumption: all rows of a key land in one bucket (guaranteed by the hash).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+NUM_BUCKETS = 32
+
+
+def add_user_bucket(t: pa.Table, key: str = "user_id",
+                    num_buckets: int = NUM_BUCKETS) -> pa.Table:
+    ids = t.column(key).to_numpy(zero_copy_only=False)
+    return t.append_column(
+        "__bucket", pa.array((pd.util.hash_array(ids) % num_buckets).astype(np.int32)))
+
+
+def _sorted_keys(t: pa.Table, key: str, ts: str, tiebreak: str):
+    """Lexsort one bucket's rows by (key, ts, tiebreak)."""
+    k = t.column(key).to_numpy(zero_copy_only=False)
+    s = t.column(ts).to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+    tb = t.column(tiebreak).to_numpy(zero_copy_only=False)
+    order = np.lexsort((tb, s, k))
+    return order, k[order], s[order]
+
+
+def lag_group(t: pa.Table) -> pa.Table:
+    """map_groups kernel for one bucket: previous ``value`` per user in
+    (ts, event_id) order, null at each user's first event (SQL LAG)."""
+    order, ks, _ = _sorted_keys(t, "user_id", "ts", "event_id")
+    v = t.column("value").to_numpy(zero_copy_only=False)[order]
+    ev = t.column("event_id").to_numpy(zero_copy_only=False)[order]
+    prev = np.roll(v, 1)
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = ks[1:] != ks[:-1]
+    prev_masked = pa.Array.from_pandas(pd.Series(prev).mask(first))
+    return pa.table({
+        "user_id": pa.array(ks), "event_id": pa.array(ev),
+        "value": pa.array(v), "prev_value": prev_masked.cast(pa.float64()),
+    })
+
+
+def sessionize_group(t: pa.Table, gap_seconds: float = 1800.0) -> pa.Table:
+    """Per-user session stats for one bucket: a new session starts when the
+    gap since the user's previous event exceeds ``gap_seconds``."""
+    order, ks, ss = _sorted_keys(t, "user_id", "ts", "event_id")
+    gap = np.diff(ss, prepend=ss[:1]) / 1e6
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = ks[1:] != ks[:-1]
+    new_session = first | (gap > gap_seconds)
+    new_session[first] = True
+    # per-user reduction within the (key-sorted) bucket
+    uniq, start_idx = np.unique(ks, return_index=True)
+    n_sessions = np.add.reduceat(new_session.astype(np.int64), start_idx)
+    n_events = np.diff(np.r_[start_idx, len(ks)])
+    return pa.table({
+        "user_id": pa.array(uniq),
+        "n_sessions": pa.array(n_sessions, pa.int64()),
+        "n_events": pa.array(n_events, pa.int64()),
+    })

@@ -1,0 +1,77 @@
+"""Window, sessionization, explode, and ANN-variant operator tests
+(SURVEY.md §5 layer 1: operator units against an independent oracle)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_pd():
+    return pq.read_table(f"{SF}/events.parquet").to_pandas()
+
+
+def test_event_lag_matches_pandas(ray_session):
+    from oregonwaterdataportal_etl_ray.pipelines.queries import QUERIES
+    got = QUERIES["event_lag"](SF).to_pandas() \
+        .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    ev = _events_pd().sort_values(["user_id", "ts", "event_id"])
+    ev["prev_value"] = ev.groupby("user_id")["value"].shift(1)
+    want = ev[["user_id", "event_id", "value", "prev_value"]] \
+        .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["event_id"].values == want["event_id"].values).all()
+    pd.testing.assert_series_equal(got["prev_value"], want["prev_value"],
+                                   check_names=False)
+
+
+def test_sessionize_matches_pandas(ray_session):
+    from oregonwaterdataportal_etl_ray.pipelines.queries import QUERIES
+    got = QUERIES["sessionize"](SF).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    ev = _events_pd().sort_values(["user_id", "ts", "event_id"])
+    gap = ev.groupby("user_id")["ts"].diff().dt.total_seconds()
+    ev["new_sess"] = gap.isna() | (gap > 1800)
+    want = ev.groupby("user_id").agg(
+        n_events=("event_id", "size"), n_sessions=("new_sess", "sum")) \
+        .reset_index().sort_values("user_id").reset_index(drop=True)
+    assert (got["n_events"].values == want["n_events"].values).all()
+    assert (got["n_sessions"].values == want["n_sessions"].values).all()
+
+
+def test_ivf_recall_vs_bruteforce(ray_session):
+    """IVF with 4/16 probes must recover most of the exact top-5."""
+    from oregonwaterdataportal_etl_ray.pipelines.queries import QUERIES
+    exact = QUERIES["ann_topk"](SF).to_pandas()
+    approx = QUERIES["ann_ivf"](SF).to_pandas()
+    recalls = []
+    for q in exact["query_id"].unique():
+        e = set(exact.loc[exact.query_id == q, "neighbor_id"])
+        a = set(approx.loc[approx.query_id == q, "neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_embedding_near_dup_matches_numpy(ray_session):
+    from oregonwaterdataportal_etl_ray.pipelines.queries import QUERIES
+    got = QUERIES["embedding_near_dup"](SF).to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = t["vec_id"].to_numpy()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    r, c = np.nonzero((sims >= 0.4) & (ids[:, None] < ids[None, :]))
+    want_pairs = set(zip(ids[r], ids[c]))
+    assert got_pairs == want_pairs
+
+
+def test_token_explode_empty_and_counts(ray_session):
+    from oregonwaterdataportal_etl_ray.pipelines.queries import QUERIES
+    got = QUERIES["token_explode"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    docs = docs[docs.doc_id < 50]
+    want_n = sum(len(t.split()) for t in docs["text"] if t.strip())
+    assert len(got) == want_n
+    assert (got["token"] != "").all()
