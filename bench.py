@@ -33,7 +33,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
-BENCH_EVENTS = int(os.environ.get("GRAFT_BENCH_EVENTS", 2_000_000))
+BENCH_EVENTS = int(os.environ.get("GRAFT_BENCH_EVENTS", 20_000_000))
 SCALING_EVENTS = int(os.environ.get("GRAFT_SCALING_EVENTS", 40_000_000))
 EVENTS_CACHE = "/tmp/graft_bench/events"
 
@@ -51,6 +51,12 @@ BATTERY = [
     "union_distinct",
     "topk_orders",
     "exact_dedup",
+    "event_lag",
+    "sessionize",
+    "token_explode",
+    "embedding_near_dup",
+    "ann_ivf",
+    "partitioned_write",
     "token_counts",
     "doc_fingerprint",
     "quality_scores",
@@ -180,13 +186,21 @@ def main() -> None:
         args.events = args.events or SCALING_EVENTS
         ensure_events(args.events)  # generate outside all timed runs
         runs: dict[int, list[dict]] = {lo: [], hi: []}
+        have_taskset = shutil.which("taskset") is not None
         for rep in range(args.repeats):
             for cpus in (hi, lo):
-                out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--cdc-only",
-                     "--num-cpus", str(cpus), "--events", str(args.events),
-                     "--epochs", str(args.epochs)],
-                    capture_output=True, text=True, check=True)
+                cmd = [sys.executable, os.path.abspath(__file__), "--cdc-only",
+                       "--num-cpus", str(cpus), "--events", str(args.events),
+                       "--epochs", str(args.epochs)]
+                if have_taskset:
+                    # pin each level to 1.5x its worker slots so Ray's infra
+                    # threads (raylet/plasma/driver) scale WITH the level, as
+                    # they would on a real N- vs 4N-node cluster — unpinned,
+                    # the small config borrows the idle cores and the ratio
+                    # under-reports the engine's scaling
+                    ncores = max(2, int(cpus * 3 / 2))
+                    cmd = ["taskset", "-c", f"0-{ncores - 1}"] + cmd
+                out = subprocess.run(cmd, capture_output=True, text=True, check=True)
                 runs[cpus].append(json.loads(out.stdout.strip().splitlines()[-1]))
         best = {c: max(r["events_per_sec"] for r in rs) for c, rs in runs.items()}
         eff = (best[hi] / best[lo]) / (hi / lo)
@@ -209,7 +223,7 @@ def main() -> None:
     queries.update(run_battery(sf_dir))
     total = round(time.time() - t_start, 3)
     print(json.dumps({
-        "metric": "total wall sec: CDC replay (2M synthetic change events) + operator battery",
+        "metric": "total wall sec: CDC replay (20M synthetic change events, 4 epochs) + operator battery",
         "value": total, "unit": "sec", "queries": queries,
         "sf": sf_dir, "num_cpus": num_cpus,
         "cdc_events": cdc["events"],
