@@ -543,43 +543,71 @@ def langid_pred(sf_dir: str):
 
 @_q("minhash_near_dup")
 def minhash_near_dup(sf_dir: str):
-    """MinHash+LSH near-dup candidates with estimated Jaccard >= 0.5.
-
-    shingle -> minhash (actor pool) -> band-explode -> groupby(band) ->
-    in-bucket pairs -> dedup pairs -> verify estimate from signatures."""
+    """MinHash+LSH near-dup pairs with estimated Jaccard >= 0.5 — fully
+    distributed: shingle -> minhash (actor pool, materialized ONCE for both
+    branches) -> band-explode -> groupby(band) -> in-bucket pairs -> pair
+    dedup (groupby) -> signature re-join by id -> vectorized estimate.
+    The only driver-side data is the final (small) pair list."""
+    from ray.data.aggregate import Count
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     sigs = ds.map_batches(MinHasher, fn_constructor_kwargs=dict(num_perm=64, k=5),
-                          batch_format="pyarrow", concurrency=_conc())
-    sig_pd = sigs.select_columns(["doc_id", "minhash"]).to_pandas()  # small at test scale;
-    # at 100 TB the verify side would re-join signatures by id instead
-    sig_map = {int(r.doc_id): np.asarray(r.minhash, dtype=np.uint64)
-               for r in sig_pd.itertuples()}
-    bands = sigs.map_batches(BandExploder, fn_constructor_kwargs=dict(num_bands=16),
-                             batch_format="pyarrow", concurrency=_conc())
+                          batch_format="pyarrow", concurrency=_conc()) \
+             .select_columns(["doc_id", "minhash"]).materialize()
+    bands = sigs.map_batches(BandExploder(num_bands=16), batch_format="pyarrow")
     pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
         lambda g: bucket_pairs(g), batch_format="pyarrow")
-    pairs_pd = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
-    if len(pairs_pd) == 0:
-        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+    pairs = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="__nb")) \
+                 .select_columns(["id_a", "id_b"])
+
+    # Verify: the candidate pair set is output-sized (bounded by the LSH
+    # design), so fetch ONLY the candidate ids' signatures — a distributed
+    # membership filter over the materialized signature dataset — and do one
+    # vectorized estimate. No full-corpus data ever reaches the driver.
+    pairs_pd = pairs.to_pandas()
+    if not len(pairs_pd):
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
                          "est_jaccard": pa.array([], pa.float64())})
-    est = [float((sig_map[a] == sig_map[b]).mean())
-           for a, b in zip(pairs_pd["id_a"], pairs_pd["id_b"])]
-    pairs_pd["est_jaccard"] = est
-    out = pairs_pd[pairs_pd["est_jaccard"] >= 0.5][["id_a", "id_b", "est_jaccard"]]
-    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+    need = np.unique(np.concatenate([pairs_pd["id_a"], pairs_pd["id_b"]]))
+    need_ref = ray.put(need)
+    cand_sigs = sigs.map_batches(MembershipFilter,
+                                 fn_constructor_kwargs=dict(keys_ref=need_ref,
+                                                            col="doc_id", keep=True),
+                                 batch_format="pyarrow", concurrency=_conc()) \
+                    .to_pandas()
+    sig_m = np.asarray(list(cand_sigs["minhash"]), dtype=np.uint64)
+    pos = {int(d): i for i, d in enumerate(cand_sigs["doc_id"])}
+    ia = np.array([pos[int(x)] for x in pairs_pd["id_a"]])
+    ib = np.array([pos[int(x)] for x in pairs_pd["id_b"]])
+    est = (sig_m[ia] == sig_m[ib]).mean(axis=1)
+    keep = est >= 0.5
+    return pa.table({"id_a": pa.array(pairs_pd["id_a"].values[keep], pa.int64()),
+                     "id_b": pa.array(pairs_pd["id_b"].values[keep], pa.int64()),
+                     "est_jaccard": pa.array(est[keep], pa.float64())})
 
 
 @_q("ngram_jaccard_dup")
 def ngram_jaccard_dup(sf_dir: str):
-    """Exact n-gram Jaccard verification of LSH candidates (two-stage near-dup)."""
+    """Exact n-gram Jaccard verification of LSH candidates (two-stage
+    near-dup). Only the candidate ids' texts are pulled (predicate-pushdown
+    read of the small candidate set), never the corpus."""
+    import pyarrow.dataset as pads
     cand = QUERIES["minhash_near_dup"](sf_dir)
     cand_pd = cand.to_pandas() if not isinstance(cand, pa.Table) else cand.to_pandas()
-    docs = small_table(sf_dir, "documents", columns=["doc_id", "text"]).set_index("doc_id")
+    if not len(cand_pd):
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    need = sorted(set(cand_pd["id_a"]) | set(cand_pd["id_b"]))
+    docs = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin(need)).to_pandas().set_index("doc_id")
     rows = []
     for a, b in zip(cand_pd["id_a"], cand_pd["id_b"]):
-        j = exact_ngram_jaccard(docs.loc[int(a), "text"], docs.loc[int(b), "text"], k=5)
-        if j >= 0.6:
-            rows.append((int(a), int(b), round(j, 6)))
+        jac = exact_ngram_jaccard(docs.loc[int(a), "text"], docs.loc[int(b), "text"], k=5)
+        if jac >= 0.6:
+            rows.append((int(a), int(b), round(jac, 6)))
+    rows.sort()
     return pa.table({"id_a": pa.array([r[0] for r in rows], pa.int64()),
                      "id_b": pa.array([r[1] for r in rows], pa.int64()),
                      "jaccard": pa.array([r[2] for r in rows], pa.float64())})
