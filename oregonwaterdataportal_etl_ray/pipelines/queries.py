@@ -615,38 +615,52 @@ def ngram_jaccard_dup(sf_dir: str):
 
 @_q("simhash_near_dup")
 def simhash_near_dup(sf_dir: str):
-    """SimHash near-dup: 64-bit fingerprints, hamming <= 8 within 16-bit bands."""
+    """SimHash near-dup: 64-bit fingerprints, hamming <= 8 within 16-bit
+    bands — distributed like minhash: explode to (band_id, band_key, id,
+    simhash) rows, groupby band, pair-gen + hamming INSIDE each bucket
+    (the simhash travels with the row, so no signature re-join is needed),
+    then a pair-dedup groupby keeping the min hamming."""
+    from ray.data.aggregate import Min
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     hashed = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(k=5),
-                            batch_format="pyarrow", concurrency=_conc())
-    hp = hashed.select_columns(["doc_id", "simhash"]).to_pandas()
-    sh = hp["simhash"].to_numpy().astype(np.uint64)
-    ids = hp["doc_id"].to_numpy()
-    # LSH on 4 x 16-bit bands: candidates share at least one exact band
-    cands = set()
-    for band in range(4):
-        key = (sh >> np.uint64(band * 16)) & np.uint64(0xFFFF)
-        order = np.argsort(key, kind="stable")
-        ks = key[order]
-        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
-        ends = np.r_[starts[1:], len(ks)]
-        for s, e in zip(starts, ends):
-            if 2 <= e - s <= 50:
-                grp = order[s:e]
-                for i in range(len(grp)):
-                    for j in range(i + 1, len(grp)):
-                        a, b = sorted((int(ids[grp[i]]), int(ids[grp[j]])))
-                        cands.add((a, b))
-    if not cands:
-        return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                         "hamming": pa.array([], pa.int64())})
-    ca = np.array([c[0] for c in cands]); cb = np.array([c[1] for c in cands])
-    pos = {int(v): i for i, v in enumerate(ids)}
-    d = hamming64(sh[[pos[int(x)] for x in ca]], sh[[pos[int(x)] for x in cb]])
-    keep = d <= 8
-    return pa.table({"id_a": pa.array(ca[keep], pa.int64()),
-                     "id_b": pa.array(cb[keep], pa.int64()),
-                     "hamming": pa.array(d[keep].astype(np.int64))})
+                            batch_format="pyarrow", concurrency=_conc()) \
+               .select_columns(["doc_id", "simhash"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        band_id = np.tile(np.arange(4, dtype=np.int32), n)
+        rep_sh = np.repeat(sh, 4)
+        key = (rep_sh >> (band_id.astype(np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)
+        return pa.table({"doc_id": pa.array(np.repeat(ids, 4)),
+                         "band_id": pa.array(band_id, pa.int32()),
+                         "band_key": pa.array(key, pa.uint64()),
+                         "simhash": pa.array(rep_sh, pa.uint64())})
+
+    def bucket_hamming(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        sh = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        uniq, idx = np.unique(ids, return_index=True)
+        if not (2 <= len(uniq) <= 50):  # degenerate-band bound, like minhash
+            return empty
+        sh = sh[idx]
+        i, j = np.triu_indices(len(uniq), k=1)
+        d = hamming64(sh[i], sh[j])
+        keep = d <= 8
+        if not keep.any():
+            return empty
+        return pa.table({"id_a": pa.array(uniq[i[keep]], pa.int64()),
+                         "id_b": pa.array(uniq[j[keep]], pa.int64()),
+                         "hamming": pa.array(d[keep].astype(np.int64))})
+
+    pairs = hashed.map_batches(explode, batch_format="pyarrow") \
+                  .groupby(["band_id", "band_key"]) \
+                  .map_groups(bucket_hamming, batch_format="pyarrow")
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 # ===========================================================================
