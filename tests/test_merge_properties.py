@@ -123,3 +123,32 @@ def test_partial_reduce_combiner_correct(events, n_splits):
 def test_drop_tombstones():
     t = _table([("r1", "a", 1, "x"), ("r1", "b", 2, None)])
     assert drop_tombstones(t).num_rows == 1
+
+
+def test_normalize_watermark_strict_filter():
+    """D5: rows with lsn <= the bucket's watermark are dropped (strict >,
+    half-open resume windows — the reference's +1-minute overlap law,
+    /root/reference/userCode/wrd/dag.py:189-197)."""
+    from oregonwaterdataportal_etl_ray.cdc.merge import NormalizeEvents, bucket_of_keys
+    from oregonwaterdataportal_etl_ray.cdc.schema import plan_target_schema  # noqa: F401
+
+    schema = pa.schema([("repo", pa.string()), ("path", pa.string()),
+                        ("commit", pa.string()), ("lang", pa.string()),
+                        ("content", pa.string())])
+    rows = pa.table({
+        "repo": ["r1", "r1", "r1"], "path": ["a", "a", "a"],
+        "commit": [f"{i:012d}-aaaaaaaa" for i in (5, 10, 15)],
+        "lang": ["py"] * 3, "content": ["v5", "v10", "v15"],
+    })
+    key = key_column(rows)
+    bucket = int(bucket_of_keys(key, 8)[0])
+    ne = NormalizeEvents(schema, num_buckets=8, watermarks={bucket: 10})
+    out = ne(rows)
+    # lsn 5 and 10 are <= watermark 10 -> dropped; only 15 survives
+    assert out["lsn"].to_pylist() == [15]
+    assert out["content"].to_pylist() == ["v15"]
+
+    # no watermark -> LWW winner only (15)
+    ne2 = NormalizeEvents(schema, num_buckets=8)
+    out2 = ne2(rows)
+    assert out2["lsn"].to_pylist() == [15]
