@@ -31,13 +31,6 @@ from .schema import EvolutionSpec, conform_batch
 
 KEY_SEP = "\x1f"
 
-# Arrow's internal thread pool defaults to the machine's core count in EVERY
-# Ray worker process — with a full task pool that oversubscribes cores N-fold
-# and destroys scaling. Ray already provides the parallelism; keep Arrow's
-# kernels single-threaded inside workers. (Module import runs in each worker.)
-pa.set_cpu_count(1)
-pa.set_io_thread_count(2)
-
 
 def parse_lsn(commit: pa.ChunkedArray | pa.Array) -> pa.Array:
     """LSN = int(commit[:12]) (FIXTURES.md F1 commit form)."""
