@@ -368,6 +368,43 @@ class CdcEngine:
             records.append(prev[1]["rec"])
         return records
 
+    # ---- compaction -----------------------------------------------------
+    def compact(self) -> int:
+        """Fold every bucket's outstanding delta runs into its base file.
+
+        Distributed (one task per bucket batch), idempotent (tmp+rename of
+        deterministic content), and the point where manifest ``row_count``
+        becomes exact for every bucket — between compactions it reflects the
+        last compacted state, not in-flight runs. Returns buckets compacted.
+        """
+        manifests = load_all_manifests(self.state_dir)
+        todo = [b for b, m in manifests.items() if m.runs]
+        if not todo:
+            return 0
+        state_dir = self.state_dir
+
+        def compact_batch(batch: pa.Table) -> pa.Table:
+            done = []
+            for b in batch.column("bucket").to_pylist():
+                m = load_manifest(state_dir, int(b))
+                if m is None or not m.runs:
+                    continue
+                parts = ([_read_rel(state_dir, m.base_file)] if m.base_file else []) + \
+                        [_read_rel(state_dir, r) for r in m.runs]
+                merged = merge_sorted_runs(parts).sort_by([("__key", "ascending")])
+                base_file = f"data/bucket={m.bucket:05d}/base-{m.epoch:05d}.parquet"
+                atomic_write_table(os.path.join(state_dir, base_file), merged)
+                m.base_file = base_file
+                m.row_count = merged.num_rows - merged.column("content").null_count
+                m.runs = []
+                write_manifest(state_dir, m)
+                done.append(int(b))
+            return pa.table({"bucket": pa.array(done, pa.int32())})
+
+        ds = ray.data.from_items([{"bucket": b} for b in sorted(todo)])
+        return ds.map_batches(compact_batch, batch_format="pyarrow",
+                              batch_size=2).count()
+
     # ---- reads ---------------------------------------------------------
     def final_dataset(self, with_sha: bool = True) -> "ray.data.Dataset":
         """Distributed merge-on-read of the committed table (streams per bucket)."""

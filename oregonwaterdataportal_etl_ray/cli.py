@@ -8,6 +8,8 @@ Subcommands:
            the state dir's committed epoch lineage; safe to re-submit after
            a kill — committed epochs are skipped).
   export   materialize the merged current-state table to partitioned Parquet.
+  compact  fold outstanding LSM delta runs into each bucket's base file
+           (makes manifest row counts exact).
   lineage  print per-bucket checkpoint lineage (last LSN, row counts, stats).
 
 Owns the Ray session only when standalone (guarded init, per driver contract).
@@ -60,6 +62,12 @@ def main(argv: list[str] | None = None) -> int:
     xp.add_argument("--rename", action="append", metavar="OLD=NEW")
     xp.add_argument("--no-sha", action="store_true")
 
+    cp = sub.add_parser("compact")
+    cp.add_argument("--state-dir", required=True)
+    cp.add_argument("--num-buckets", type=int, default=64)
+    cp.add_argument("--compact-every", type=int, default=4)
+    cp.add_argument("--rename", action="append", metavar="OLD=NEW")
+
     lp = sub.add_parser("lineage")
     lp.add_argument("--state-dir", required=True)
     lp.add_argument("--num-buckets", type=int, default=64)
@@ -81,6 +89,8 @@ def main(argv: list[str] | None = None) -> int:
             "upserts": res.n_upserts, "deletes": res.n_deletes,
             "skipped_stale": res.n_skipped,
         }))
+    elif args.cmd == "compact":
+        print(json.dumps({"buckets_compacted": eng.compact()}))
     elif args.cmd == "export":
         ds = eng.final_dataset(with_sha=not args.no_sha)
         ds.write_parquet(args.out)

@@ -45,3 +45,27 @@ def iso_utc(ts_col: pa.Array | pa.ChunkedArray) -> pa.Array:
     import pyarrow.compute as pc
 
     return pc.strftime(ts_col, format="%Y-%m-%dT%H:%M:%SZ")
+
+
+def derive_observation_id(parent_id: pa.Array | pa.ChunkedArray,
+                          time_str: pa.Array | pa.ChunkedArray,
+                          max_digits: int = 18) -> pa.Array:
+    """Derived unique observation id: digits of ``f"{parent_id}{time}"``
+    truncated to ``max_digits`` — the reference's collision-free id rule
+    (/root/reference/userCode/wrd/sta_generation.py:18-66: concat iotid +
+    stripped time, keep digits, truncate 18). Fully vectorized.
+    """
+    import pyarrow.compute as pc
+
+    joined = pc.binary_join_element_wise(
+        pc.cast(parent_id, pa.string()), pc.cast(time_str, pa.string()), "")
+    digits = pc.replace_substring_regex(joined, r"[^0-9]", "")
+    return pc.cast(pc.utf8_slice_codeunits(digits, 0, max_digits), pa.int64())
+
+
+def strip_availability_suffix(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Drop the reference's ``_available`` / ``_avail`` stream-name suffixes
+    (/root/reference/userCode/wrd/sta_generation.py:96-142)."""
+    import pyarrow.compute as pc
+
+    return pc.replace_substring_regex(col, r"(_available|_avail)$", "")

@@ -136,3 +136,25 @@ def test_multimodal_plumbing():
     frames = FrameSampler(n_frames=2)(t)
     assert frames.num_rows == 4
     assert frames["frame_idx"].to_pylist() == [0, 1, 0, 1]
+
+
+def test_derive_observation_id_goldens():
+    """Pinned semantics of the reference's derived unique id (M3,
+    /root/reference/userCode/wrd/sta_generation.py:18-66): digits of
+    parent_id+time, truncated to 18."""
+    from oregonwaterdataportal_etl_ray.functions.kernels import derive_observation_id
+    ids = derive_observation_id(
+        pa.array([123, 45678]),
+        pa.array(["2023-01-02T03:00:00Z", "1999-12-31T23:59:59Z"]))
+    assert ids.to_pylist() == [12320230102030000, 456781999123123595]
+    # collision-free across times for the same parent
+    a = derive_observation_id(pa.array([1]), pa.array(["2023-01-02T03:00:00Z"]))
+    b = derive_observation_id(pa.array([1]), pa.array(["2023-01-02T04:00:00Z"]))
+    assert a.to_pylist() != b.to_pylist()
+
+
+def test_strip_availability_suffix():
+    from oregonwaterdataportal_etl_ray.functions.kernels import strip_availability_suffix
+    got = strip_availability_suffix(pa.array(
+        ["mean_daily_flow_available", "water_temp_avail", "plain", "avail_x"]))
+    assert got.to_pylist() == ["mean_daily_flow", "water_temp", "plain", "avail_x"]
