@@ -239,6 +239,29 @@ def hourly_event_counts(sf_dir: str):
              .groupby(["user_id", "hour"]).aggregate(Count(alias_name="n"))
 
 
+@_q("grouped_percentiles", """
+SELECT event_type,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
+       ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS p95
+FROM events GROUP BY event_type
+""")
+def grouped_percentiles(sf_dir: str):
+    """Exact grouped percentiles (linear interpolation, = SQL
+    percentile_cont). Scale note: exact percentiles shuffle every row of a
+    group to one task — at 100 TB swap the reducer for a mergeable t-digest
+    sketch inside map_batches + a tiny groupby of sketches."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def pct(g: pa.Table) -> pa.Table:
+        v = g["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": [g["event_type"][0].as_py()],
+            "p50": pa.array([round(float(np.percentile(v, 50)), 6)]),
+            "p95": pa.array([round(float(np.percentile(v, 95)), 6)]),
+        })
+    return ds.groupby("event_type").map_groups(pct, batch_format="pyarrow")
+
+
 @_q("distinct_users", """
 SELECT DISTINCT user_id FROM events
 """)
@@ -425,6 +448,59 @@ def sessionize(sf_dir: str):
              .groupby("__bucket")
              .map_groups(sessionize_group, batch_format="pyarrow"))
     return out.select_columns(["user_id", "n_events", "n_sessions"])
+
+
+@_q("asof_join", """
+SELECT user_id, event_id, value, last_view_value FROM (
+  SELECT user_id, event_id, event_type, value,
+         last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_value
+  FROM events)
+WHERE event_type = 'click'
+""")
+def asof_join(sf_dir: str):
+    """As-of join (custom operator, no Ray Data primitive): for each click,
+    the user's most recent strictly-earlier view value. Hash-bucket users ->
+    one vectorized forward-fill per bucket (stages/window.py:asof_prev_group).
+    Partitioning assumption: a user's rows co-locate in one bucket."""
+    from ..stages.window import add_user_bucket, asof_prev_group
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "event_type", "value"])
+    return (ds.map_batches(add_user_bucket, batch_format="pyarrow")
+              .groupby("__bucket")
+              .map_groups(asof_prev_group, batch_format="pyarrow"))
+
+
+@_q("range_join", """
+SELECT o_orderkey, b.band FROM orders
+JOIN (VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+             ('high', 150000.0, 1e12)) AS b(band, lo, hi)
+  ON o_totalprice >= b.lo AND o_totalprice < b.hi
+""")
+def range_join(sf_dir: str):
+    """Range/interval join (custom operator): each order joined to its price
+    band. The (small, sorted, non-overlapping) interval table is broadcast
+    once and the probe is a vectorized searchsorted per batch — no shuffle,
+    no per-row predicate evaluation."""
+    bands = [("low", 0.0), ("mid", 50_000.0), ("high", 150_000.0)]
+    edges = np.array([lo for _, lo in bands[1:]])
+    names = np.array([n for n, _ in bands])
+    eref = ray.put((edges, names))
+
+    class BandJoin:
+        def __init__(self, ref):
+            self.edges, self.names = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+            band = self.names[np.searchsorted(self.edges, v, side="right")]
+            return pa.table({"o_orderkey": t["o_orderkey"],
+                             "band": pa.array(band, pa.string())})
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.map_batches(BandJoin, fn_constructor_kwargs=dict(ref=eref),
+                          batch_format="pyarrow", concurrency=_conc())
 
 
 @_q("token_explode", """

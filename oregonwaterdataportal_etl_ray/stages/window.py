@@ -52,6 +52,41 @@ def lag_group(t: pa.Table) -> pa.Table:
     })
 
 
+def asof_prev_group(t: pa.Table, left_type: str = "click",
+                    right_type: str = "view") -> pa.Table:
+    """As-of join WITHIN one bucket: for each ``left_type`` event, the value
+    of the user's most recent strictly-earlier ``right_type`` event.
+
+    Both streams share the bucket (hash of user_id), so the as-of lookup is a
+    vectorized segment-aware forward-fill over one lexsort — no per-key loop,
+    no cross-bucket state. Partitioning assumption: all rows of a user are in
+    this bucket.
+    """
+    order, ks, _ = _sorted_keys(t, "user_id", "ts", "event_id")
+    et = t.column("event_type").to_numpy(zero_copy_only=False)[order]
+    v = t.column("value").to_numpy(zero_copy_only=False)[order]
+    ev = t.column("event_id").to_numpy(zero_copy_only=False)[order]
+    n = len(order)
+    first = np.ones(n, dtype=bool)
+    first[1:] = ks[1:] != ks[:-1]
+    seg_start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
+    # running index of the latest right_type row seen so far (global cummax),
+    # shifted one row back => "strictly earlier"; invalid if before segment
+    idx = np.where(et == right_type, np.arange(n), -1)
+    cummax = np.maximum.accumulate(idx)
+    prev = np.concatenate(([np.int64(-1)], cummax[:-1]))
+    ok = prev >= seg_start
+    out_val = np.where(ok, v[np.clip(prev, 0, n - 1)], np.nan)
+    keep = et == left_type
+    vals = pd.Series(out_val[keep]).mask(~ok[keep])
+    return pa.table({
+        "user_id": pa.array(ks[keep]),
+        "event_id": pa.array(ev[keep]),
+        "value": pa.array(v[keep]),
+        "last_view_value": pa.Array.from_pandas(vals).cast(pa.float64()),
+    })
+
+
 def sessionize_group(t: pa.Table, gap_seconds: float = 1800.0) -> pa.Table:
     """Per-user session stats for one bucket: a new session starts when the
     gap since the user's previous event exceeds ``gap_seconds``."""

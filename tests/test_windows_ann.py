@@ -75,3 +75,22 @@ def test_token_explode_empty_and_counts(ray_session):
     want_n = sum(len(t.split()) for t in docs["text"] if t.strip())
     assert len(got) == want_n
     assert (got["token"] != "").all()
+
+
+def test_asof_join_matches_pandas(ray_session):
+    from oregonwaterdataportal_etl_ray.pipelines.queries import QUERIES
+    got = QUERIES["asof_join"](SF).to_pandas() \
+        .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    ev = _events_pd().sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    view_val = ev["value"].where(ev["event_type"] == "view")
+    # strictly-earlier semantics: shift(1) BEFORE ffill (ffill-then-shift
+    # would leak a same-row view into its own lookup)
+    prev = view_val.groupby(ev["user_id"]).transform(lambda s: s.shift(1).ffill())
+    want = ev.assign(last_view_value=prev)
+    want = want[want["event_type"] == "click"][
+        ["user_id", "event_id", "value", "last_view_value"]] \
+        .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    import pandas as pd
+    pd.testing.assert_series_equal(got["last_view_value"], want["last_view_value"],
+                                   check_names=False)
