@@ -94,7 +94,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "export":
         ds = eng.final_dataset(with_sha=not args.no_sha)
         ds.write_parquet(args.out)
-        print(json.dumps({"out": args.out, "rows": ds.count()}))
+        # metadata-only count of the written files — never re-runs the merge
+        import ray
+        n = ray.data.read_parquet(args.out).count()
+        print(json.dumps({"out": args.out, "rows": n}))
     else:
         lineage = {b: {"epoch": m.epoch, "last_applied_lsn": m.last_applied_lsn,
                        "row_count": m.row_count, "runs": len(m.runs),
