@@ -80,6 +80,8 @@ def _init_ray(num_cpus: int):
 
 def ensure_events(n_events: int) -> list[str]:
     """Deterministic change-event input, generated once and cached on disk."""
+    import pyarrow as pa
+
     from oregonwaterdataportal_etl_ray.fixtures.events import (
         GeneratorSpec, generate_change_events)
     out_dir = f"{EVENTS_CACHE}-{n_events}"
@@ -89,6 +91,10 @@ def ensure_events(n_events: int) -> list[str]:
             os.path.join(out_dir, f) for f in os.listdir(out_dir)
             if f.endswith(".parquet"))
     shutil.rmtree(out_dir, ignore_errors=True)
+    # generation is driver-local and one-time: let Arrow use real threads for
+    # it (the package caps workers at 1), then restore the worker-safe cap
+    prev_cpu = pa.cpu_count()
+    pa.set_cpu_count(max(4, (os.cpu_count() or 4) // 2))
     spec = GeneratorSpec(
         n_events=n_events,
         n_repos=max(50, n_events // 2000),
@@ -97,7 +103,10 @@ def ensure_events(n_events: int) -> list[str]:
         n_batches=max(8, n_events // 62_500),
         content_pad_max=400,
     )
-    meta = generate_change_events(out_dir, spec)
+    try:
+        meta = generate_change_events(out_dir, spec)
+    finally:
+        pa.set_cpu_count(prev_cpu)
     with open(marker, "w") as f:
         f.write(str(meta["n_delivered"]))
     return meta["files"]

@@ -262,6 +262,25 @@ def grouped_percentiles(sf_dir: str):
     return ds.groupby("event_type").map_groups(pct, batch_format="pyarrow")
 
 
+@_q("grouped_percentiles_sketch")
+def grouped_percentiles_sketch(sf_dir: str):
+    """t-digest grouped percentiles — the 100 TB path for
+    grouped_percentiles: bounded-size partial digests per batch (combiner),
+    then a tiny groupby merging centroids. Rows-only (approximate); accuracy
+    vs exact is pinned in tests/test_sketch.py."""
+    import functools
+
+    from ..stages.sketch import digest_rows, merge_digest_group
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    partial = ds.map_batches(
+        functools.partial(digest_rows, group_col="event_type", value_col="value"),
+        batch_format="pyarrow")
+    return partial.groupby("event_type").map_groups(
+        functools.partial(merge_digest_group, group_col="event_type",
+                          quantiles=[0.5, 0.95]),
+        batch_format="pyarrow")
+
+
 @_q("distinct_users", """
 SELECT DISTINCT user_id FROM events
 """)

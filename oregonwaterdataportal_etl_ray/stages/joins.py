@@ -71,6 +71,72 @@ def broadcast_key_set(values) -> "ray.ObjectRef":
     return ray.put(np.sort(np.asarray(values)))
 
 
+class BloomFilter:
+    """Vectorized numpy Bloom filter for at-scale membership pre-filtering.
+
+    When the semi/anti-join small side outgrows a broadcast array (billions
+    of committed ids), broadcast this instead: m bits + k double-hashed
+    probes per key (h1 + i*h2, splitmix64 mixing). Semantics:
+      contains() False  => definitely NOT in the set (safe to drop for semi,
+                           safe to keep for anti),
+      contains() True   => maybe present — route to an exact check against
+                           the sharded id store.
+    """
+
+    def __init__(self, n_items: int, fpp: float = 0.01):
+        m = int(max(64, -n_items * np.log(fpp) / (np.log(2) ** 2)))
+        self.m = (m + 63) // 64 * 64
+        self.k = max(1, int(round(self.m / max(1, n_items) * np.log(2))))
+        self.bits = np.zeros(self.m // 64, dtype=np.uint64)
+
+    @staticmethod
+    def _mix(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        x = v.astype(np.uint64)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h1 = x ^ (x >> np.uint64(31))
+        h2 = (h1 >> np.uint64(17)) | np.uint64(1)  # odd => full-period stride
+        return h1, h2
+
+    def _positions(self, v: np.ndarray) -> np.ndarray:
+        h1, h2 = self._mix(v)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return (h1[None, :] + i * h2[None, :]) % np.uint64(self.m)  # (k, n)
+
+    def add(self, values: np.ndarray) -> None:
+        pos = self._positions(np.asarray(values)).reshape(-1)
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+
+    def contains(self, values: np.ndarray) -> np.ndarray:
+        pos = self._positions(np.asarray(values))
+        word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+        hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=0).astype(bool)
+
+
+class BloomMembershipFilter:
+    """map_batches stage: Bloom pre-filter + exact verify of 'maybe' rows.
+
+    Exactness is preserved: Bloom negatives are decided immediately; Bloom
+    positives are confirmed against the exact key set (which at scale would
+    be a sharded lookup touched only for the small 'maybe' fraction)."""
+
+    def __init__(self, bloom_ref, keys_ref, col: str, keep: bool):
+        self.bloom = ray.get(bloom_ref) if isinstance(bloom_ref, ray.ObjectRef) else bloom_ref
+        self.keys = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+        self.col = col
+        self.keep = keep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = batch.column(self.col).to_numpy(zero_copy_only=False)
+        maybe = self.bloom.contains(vals)
+        mask = maybe.copy()
+        if maybe.any():  # exact check only for the maybe-present fraction
+            mask[maybe] = np.isin(vals[maybe], self.keys)
+        return batch.filter(pa.array(mask if self.keep else ~mask))
+
+
 class MembershipFilter:
     """map_batches actor stage: semi (keep=True) / anti (keep=False) join
     against a broadcast sorted key array (np.isin is a vectorized merge)."""

@@ -1,0 +1,117 @@
+"""Mergeable quantile sketch (merging t-digest) — the at-scale reducer for
+grouped percentiles.
+
+Exact percentiles shuffle every row of a group to one task; the sketch path
+computes bounded-size partial digests inside ``map_batches`` (the combiner)
+and merges digests in a tiny ``groupby`` — the shuffle moves centroids, not
+rows. Digest size is O(compression), independent of group size.
+
+Design: the *merging* t-digest (Dunning & Ertl, "Computing Extremely Accurate
+Quantiles Using t-Digests", arXiv:1902.04023 — public paper): centroids
+sorted by mean; a pass merges adjacent centroids while the cluster's
+cumulative-weight span stays within the k1 scale-function bound, which keeps
+clusters small near q=0/1 (accurate tails) and large near the median.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _compress(means: np.ndarray, weights: np.ndarray,
+              compression: float) -> tuple[np.ndarray, np.ndarray]:
+    """One merging pass: greedy left-to-right under the k1 size bound."""
+    if len(means) == 0:
+        return means, weights
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = weights.sum()
+    out_m: list[float] = []
+    out_w: list[float] = []
+    # k1 scale: cluster may span until its q-width exceeds 4*sin step; use the
+    # standard bound max_w(q) = 4*total*q*(1-q)/compression at cluster center
+    cur_m, cur_w, cum = means[0], weights[0], 0.0
+    for m, w in zip(means[1:], weights[1:]):
+        q = (cum + cur_w / 2) / total
+        limit = 4.0 * total * q * (1.0 - q) / compression
+        if cur_w + w <= max(limit, 1.0):
+            cur_m += (m - cur_m) * (w / (cur_w + w))
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            cum += cur_w
+            cur_m, cur_w = m, w
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+class TDigest:
+    def __init__(self, compression: float = 200.0,
+                 means: np.ndarray | None = None,
+                 weights: np.ndarray | None = None):
+        self.compression = compression
+        self.means = means if means is not None else np.empty(0)
+        self.weights = weights if weights is not None else np.empty(0)
+
+    def add(self, values: np.ndarray) -> "TDigest":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        m = np.concatenate([self.means, v])
+        w = np.concatenate([self.weights, np.ones(len(v))])
+        self.means, self.weights = _compress(m, w, self.compression)
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        m = np.concatenate([self.means, other.means])
+        w = np.concatenate([self.weights, other.weights])
+        self.means, self.weights = _compress(m, w, self.compression)
+        return self
+
+    def quantile(self, q: float) -> float:
+        if len(self.means) == 0:
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        w = self.weights
+        total = w.sum()
+        # centroid centers at cumulative midpoints
+        centers = np.cumsum(w) - w / 2
+        target = q * total
+        return float(np.interp(target, centers, self.means))
+
+
+def digest_rows(t: pa.Table, group_col: str, value_col: str,
+                compression: float = 200.0) -> pa.Table:
+    """map_batches combiner: one serialized digest row per group per batch."""
+    keys = t[group_col].to_numpy(zero_copy_only=False)
+    vals = t[value_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    ks, vs = keys[order], vals[order]
+    starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+    ends = np.r_[starts[1:], len(ks)]
+    rows_g, rows_m, rows_w = [], [], []
+    for s, e in zip(starts, ends):
+        d = TDigest(compression).add(vs[s:e])
+        rows_g.append(ks[s])
+        rows_m.append(d.means.tolist())
+        rows_w.append(d.weights.tolist())
+    return pa.table({
+        group_col: pa.array(rows_g),
+        "d_means": pa.array(rows_m, pa.list_(pa.float64())),
+        "d_weights": pa.array(rows_w, pa.list_(pa.float64())),
+    })
+
+
+def merge_digest_group(g: pa.Table, group_col: str, quantiles: list[float],
+                       compression: float = 200.0) -> pa.Table:
+    """map_groups reducer: merge one group's partial digests, emit quantiles."""
+    d = TDigest(compression)
+    for m, w in zip(g["d_means"].to_pylist(), g["d_weights"].to_pylist()):
+        d.merge(TDigest(compression, np.asarray(m), np.asarray(w)))
+    out = {group_col: [g[group_col][0].as_py()]}
+    for q in quantiles:
+        out[f"p{int(q * 100)}"] = pa.array([d.quantile(q)], pa.float64())
+    return pa.table(out)

@@ -158,3 +158,30 @@ def test_strip_availability_suffix():
     got = strip_availability_suffix(pa.array(
         ["mean_daily_flow_available", "water_temp_avail", "plain", "avail_x"]))
     assert got.to_pylist() == ["mean_daily_flow", "water_temp", "plain", "avail_x"]
+
+
+def test_bloom_filter_no_false_negatives_and_bounded_fpp():
+    from oregonwaterdataportal_etl_ray.stages.joins import BloomFilter
+    rng = np.random.default_rng(3)
+    members = rng.choice(10_000_000, size=50_000, replace=False)
+    bf = BloomFilter(len(members), fpp=0.01)
+    bf.add(members)
+    assert bf.contains(members).all()  # zero false negatives, by construction
+    outsiders = np.setdiff1d(rng.choice(10_000_000, size=100_000), members)
+    fpp = bf.contains(outsiders).mean()
+    assert fpp < 0.03, fpp
+
+
+def test_bloom_membership_filter_is_exact(ray_session):
+    import ray
+    from oregonwaterdataportal_etl_ray.stages.joins import BloomFilter, BloomMembershipFilter
+    keys = np.arange(0, 1000, 3)
+    bf = BloomFilter(len(keys), fpp=0.05)
+    bf.add(keys)
+    t = pa.table({"k": pa.array(np.arange(1000), pa.int64())})
+    f_semi = BloomMembershipFilter(ray.put(bf), ray.put(keys), "k", keep=True)
+    f_anti = BloomMembershipFilter(ray.put(bf), ray.put(keys), "k", keep=False)
+    semi = f_semi(t)["k"].to_numpy()
+    anti = f_anti(t)["k"].to_numpy()
+    assert set(semi) == set(keys.tolist())          # exact despite Bloom FPs
+    assert set(anti) == set(range(1000)) - set(keys.tolist())
