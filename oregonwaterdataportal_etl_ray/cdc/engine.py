@@ -369,16 +369,24 @@ class CdcEngine:
         return records
 
     # ---- compaction -----------------------------------------------------
-    def compact(self) -> int:
+    def compact(self, purge_tombstones_below_lsn: int | None = None) -> int:
         """Fold every bucket's outstanding delta runs into its base file.
 
         Distributed (one task per bucket batch), idempotent (tmp+rename of
         deterministic content), and the point where manifest ``row_count``
         becomes exact for every bucket — between compactions it reflects the
         last compacted state, not in-flight runs. Returns buckets compacted.
+
+        ``purge_tombstones_below_lsn``: LSM tombstone GC — drop delete markers
+        with ``lsn <`` the given value. SAFETY: a tombstone blocks late stale
+        upserts of its key from resurrecting; only purge below an LSN that the
+        source guarantees will never be (re)delivered — e.g.
+        ``min(last_applied_lsn over all buckets) - disorder_bound``. Use
+        :meth:`safe_tombstone_gc_lsn` for the conservative default.
         """
         manifests = load_all_manifests(self.state_dir)
-        todo = [b for b, m in manifests.items() if m.runs]
+        gc = purge_tombstones_below_lsn
+        todo = [b for b, m in manifests.items() if m.runs or gc is not None]
         if not todo:
             return 0
         state_dir = self.state_dir
@@ -387,11 +395,15 @@ class CdcEngine:
             done = []
             for b in batch.column("bucket").to_pylist():
                 m = load_manifest(state_dir, int(b))
-                if m is None or not m.runs:
+                if m is None or (not m.runs and gc is None):
                     continue
                 parts = ([_read_rel(state_dir, m.base_file)] if m.base_file else []) + \
                         [_read_rel(state_dir, r) for r in m.runs]
                 merged = merge_sorted_runs(parts).sort_by([("__key", "ascending")])
+                if gc is not None:
+                    is_tomb = pc.is_null(merged.column("content"))
+                    old = pc.and_(is_tomb, pc.less(merged.column("lsn"), gc))
+                    merged = merged.filter(pc.invert(old))
                 base_file = f"data/bucket={m.bucket:05d}/base-{m.epoch:05d}.parquet"
                 atomic_write_table(os.path.join(state_dir, base_file), merged)
                 m.base_file = base_file
@@ -404,6 +416,16 @@ class CdcEngine:
         ds = ray.data.from_items([{"bucket": b} for b in sorted(todo)])
         return ds.map_batches(compact_batch, batch_format="pyarrow",
                               batch_size=2).count()
+
+    def safe_tombstone_gc_lsn(self, disorder_bound: int = 0) -> int:
+        """Conservative tombstone-GC watermark: no bucket has applied past
+        this point minus the source's out-of-order bound, so no event below
+        it can still arrive through the exactly-once replay path."""
+        manifests = load_all_manifests(self.state_dir)
+        if not manifests:
+            return 0
+        return max(0, min(m.last_applied_lsn for m in manifests.values())
+                   - disorder_bound)
 
     # ---- reads ---------------------------------------------------------
     def final_dataset(self, with_sha: bool = True) -> "ray.data.Dataset":

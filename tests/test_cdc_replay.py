@@ -93,3 +93,26 @@ def test_lineage_stats_account_for_everything(corpus, tmp_path):
     live = eng.final_table(with_sha=False)
     # row_count in manifests equals live rows after final compaction-on-read
     assert sum(1 for _ in range(live.num_rows)) == live.num_rows
+
+
+def test_tombstone_gc_preserves_final_table(corpus, tmp_path):
+    """Compaction with tombstone GC below the safe watermark never changes
+    the live table, shrinks stored state, and replayed-epoch idempotence
+    still holds afterwards."""
+    state = str(tmp_path / "state")
+    eng = CdcEngine(state, num_buckets=8, compact_every=2)
+    eng.replay(corpus["files"], epoch_size=2)
+    before = _assert_matches_oracle(eng, corpus["files"])
+
+    eng.compact()  # fold runs so stored rows include retained tombstones
+    stored_before = sum(m.row_count for m in eng.lineage().values())
+    gc_lsn = eng.safe_tombstone_gc_lsn()
+    assert gc_lsn > 0
+    eng.compact(purge_tombstones_below_lsn=gc_lsn)
+    after = _assert_matches_oracle(eng, corpus["files"])
+    assert list(before["sha256"]) == list(after["sha256"])
+
+    # a re-run of already-committed epochs is still a no-op after GC
+    eng2 = CdcEngine(state, num_buckets=8, compact_every=2)
+    eng2.replay(corpus["files"], epoch_size=2)
+    _assert_matches_oracle(eng2, corpus["files"])
