@@ -39,7 +39,12 @@ def _q(name: str, sql: str | None = None):
 
 
 def _conc() -> tuple[int, int]:
-    return (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+    """Actor-pool sizing: floor of 2 skips the autoscaler's slow ramp from 1
+    without risking CPU-slot exhaustion when a pipeline chains several pools
+    (floor 4 deadlocked ann_ivf's two pools on an 8-CPU cluster: 8 pinned
+    actors left no slot for the read tasks); ceiling = cluster CPUs."""
+    cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    return (min(2, cpus), cpus)
 
 
 def _round_cols(ndigits: int, cols: list[str]):
