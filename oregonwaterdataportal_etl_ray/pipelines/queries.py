@@ -286,6 +286,40 @@ def grouped_percentiles_sketch(sf_dir: str):
         batch_format="pyarrow")
 
 
+@_q("props_extract", """
+SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+FROM events
+""")
+def props_extract(sf_dir: str):
+    """Semi-structured field extraction (the reference's open ``properties``
+    map, SURVEY.md §1.3.3): vectorized regex over the JSON-string column —
+    no per-row json.loads in the hot path."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
+        return pa.table({"event_id": t["event_id"],
+                         "k": pc.cast(pc.struct_field(k, "k"), pa.int64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@_q("rolling_avg", """
+SELECT user_id, event_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS avg4
+FROM events
+""")
+def rolling_avg(sf_dir: str):
+    """Rolling window aggregate (moving average over the last 4 events per
+    user): bucketed users -> one vectorized cumsum-difference kernel per
+    bucket with per-user boundary handling."""
+    from ..stages.window import add_user_bucket, rolling_avg_group
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    return (ds.map_batches(add_user_bucket, batch_format="pyarrow")
+              .groupby("__bucket")
+              .map_groups(rolling_avg_group, batch_format="pyarrow"))
+
+
 @_q("distinct_users", """
 SELECT DISTINCT user_id FROM events
 """)

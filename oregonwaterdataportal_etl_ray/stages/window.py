@@ -87,6 +87,27 @@ def asof_prev_group(t: pa.Table, left_type: str = "click",
     })
 
 
+def rolling_avg_group(t: pa.Table, window: int = 4) -> pa.Table:
+    """Moving average of ``value`` over the trailing ``window`` rows per user
+    (fewer at each user's start): cumsum difference with per-user clamping —
+    one vectorized pass per bucket, no per-key loop."""
+    order, ks, _ = _sorted_keys(t, "user_id", "ts", "event_id")
+    v = t.column("value").to_numpy(zero_copy_only=False)[order]
+    ev = t.column("event_id").to_numpy(zero_copy_only=False)[order]
+    n = len(order)
+    first = np.ones(n, dtype=bool)
+    first[1:] = ks[1:] != ks[:-1]
+    seg_start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
+    csum = np.concatenate(([0.0], np.cumsum(v)))
+    pos = np.arange(n)
+    lo = np.maximum(pos - window + 1, seg_start)
+    avg = (csum[pos + 1] - csum[lo]) / (pos - lo + 1)
+    return pa.table({
+        "user_id": pa.array(ks), "event_id": pa.array(ev),
+        "avg4": pa.array(np.round(avg, 6), pa.float64()),
+    })
+
+
 def sessionize_group(t: pa.Table, gap_seconds: float = 1800.0) -> pa.Table:
     """Per-user session stats for one bucket: a new session starts when the
     gap since the user's previous event exceeds ``gap_seconds``."""
