@@ -39,12 +39,14 @@ def _q(name: str, sql: str | None = None):
 
 
 def _conc() -> tuple[int, int]:
-    """Actor-pool sizing: floor of 2 skips the autoscaler's slow ramp from 1
-    without risking CPU-slot exhaustion when a pipeline chains several pools
-    (floor 4 deadlocked ann_ivf's two pools on an 8-CPU cluster: 8 pinned
-    actors left no slot for the read tasks); ceiling = cluster CPUs."""
+    """Actor-pool sizing. Ceiling = cluster CPUs. The floor skips the
+    autoscaler's slow ramp from 1, but chained pools can deadlock a small
+    cluster when their summed floors pin every CPU slot and starve the read
+    tasks (floor 4 hung ann_ivf's two pools at 8 CPUs; floor 2 hung them at
+    the 4-CPU test cluster) — so the floor is 1 unless the cluster has
+    comfortably more slots than any pipeline's pool count."""
     cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
-    return (min(2, cpus), cpus)
+    return (1 if cpus < 8 else 2, cpus)
 
 
 def _round_cols(ndigits: int, cols: list[str]):
