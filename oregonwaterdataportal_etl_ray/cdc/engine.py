@@ -368,6 +368,45 @@ class CdcEngine:
             records.append(prev[1]["rec"])
         return records
 
+    def tail(self, events_dir: str, epoch_size: int = 1,
+             poll_interval_s: float = 1.0, max_idle_polls: int = 5,
+             pattern: str = "*.parquet") -> ReplayResult:
+        """Continuous binlog/WAL-tail mode: poll ``events_dir`` for new batch
+        files (lexicographic order = delivery order) and apply them as
+        incremental epochs until ``max_idle_polls`` consecutive polls find
+        nothing new. Resumes from committed lineage like :meth:`replay`, so a
+        killed tailer re-started on the same state dir continues exactly
+        where it left off. The reference's cron-scheduled micro-batch harvest
+        (/root/reference/userCode/wrd/dag.py:375-394) as a long-running job.
+        """
+        import glob as _glob
+        import time as _time
+
+        result = ReplayResult(epochs=list(self.committed_epochs()))
+        idle = 0
+        while idle < max_idle_polls:
+            files = sorted(_glob.glob(os.path.join(events_dir, pattern)))
+            n_groups = len(files) // epoch_size  # only full epochs; a partial
+            # trailing group waits for its remaining files (bounded batches)
+            groups = [files[i * epoch_size:(i + 1) * epoch_size]
+                      for i in range(n_groups)]
+            done = len(self.committed_epochs())
+            if len(groups) <= done:
+                idle += 1
+                _time.sleep(poll_interval_s)
+                continue
+            idle = 0
+            planned = plan_target_schema(
+                [f for g in groups[done:] for f in g], self.evolution)
+            for i in range(done, len(groups)):
+                result.epochs.append(self.apply_epoch(groups[i], epoch=i,
+                                                      planned=planned))
+        result.n_applied = sum(r["applied"] for r in result.epochs)
+        result.n_upserts = sum(r["upserts"] for r in result.epochs)
+        result.n_deletes = sum(r["deletes"] for r in result.epochs)
+        result.n_skipped = sum(r["skipped_stale"] for r in result.epochs)
+        return result
+
     # ---- compaction -----------------------------------------------------
     def compact(self, purge_tombstones_below_lsn: int | None = None) -> int:
         """Fold every bucket's outstanding delta runs into its base file.

@@ -7,6 +7,8 @@ Subcommands:
   replay   apply all batch files under --events-dir in order (resumes from
            the state dir's committed epoch lineage; safe to re-submit after
            a kill — committed epochs are skipped).
+  tail     continuous WAL-tail mode: poll --events-dir for new batch files
+           and apply them incrementally until idle --max-idle-polls polls.
   export   materialize the merged current-state table to partitioned Parquet.
   compact  fold outstanding LSM delta runs into each bucket's base file
            (makes manifest row counts exact).
@@ -62,6 +64,16 @@ def main(argv: list[str] | None = None) -> int:
     xp.add_argument("--rename", action="append", metavar="OLD=NEW")
     xp.add_argument("--no-sha", action="store_true")
 
+    tp = sub.add_parser("tail")
+    tp.add_argument("--events-dir", required=True)
+    tp.add_argument("--state-dir", required=True)
+    tp.add_argument("--epoch-size", type=int, default=1)
+    tp.add_argument("--poll-interval", type=float, default=5.0)
+    tp.add_argument("--max-idle-polls", type=int, default=60)
+    tp.add_argument("--num-buckets", type=int, default=64)
+    tp.add_argument("--compact-every", type=int, default=4)
+    tp.add_argument("--rename", action="append", metavar="OLD=NEW")
+
     cp = sub.add_parser("compact")
     cp.add_argument("--state-dir", required=True)
     cp.add_argument("--num-buckets", type=int, default=64)
@@ -89,6 +101,12 @@ def main(argv: list[str] | None = None) -> int:
             "upserts": res.n_upserts, "deletes": res.n_deletes,
             "skipped_stale": res.n_skipped,
         }))
+    elif args.cmd == "tail":
+        res = eng.tail(args.events_dir, epoch_size=args.epoch_size,
+                       poll_interval_s=args.poll_interval,
+                       max_idle_polls=args.max_idle_polls)
+        print(json.dumps({"epochs": len(res.epochs), "applied": res.n_applied,
+                          "upserts": res.n_upserts, "deletes": res.n_deletes}))
     elif args.cmd == "compact":
         print(json.dumps({"buckets_compacted": eng.compact()}))
     elif args.cmd == "export":
