@@ -2,15 +2,17 @@
 
 Pipeline shape (SURVEY.md §3.4 / §7.2):
 
-    read_parquet(change batches)
-      -> map_batches(NormalizeEvents, actor pool)     # conform + lsn + bucket
+    read_parquet(change batches, coarse blocks)
+      -> map_batches(NormalizeEvents, task pool)      # conform + lsn + bucket
                                                       # + watermark filter
                                                       # + partial LWW combine
-      -> groupby("bucket")                            # the ONE hash shuffle
+      -> groupby("bucket")                            # the ONE exchange
+                                                      # (sort-based, int32 key)
       -> map_groups(merge bucket)                     # LWW vs committed state,
                                                       # LSM delta runs,
                                                       # exactly-once commit
       -> small stats dataset (driver aggregates lineage)
+    (epoch i+1's read+normalize overlaps epoch i's merge; merges stay serial)
 
 Durable state layout under ``state_dir``:
     manifest/bucket-NNNNN.json   per-partition lineage (epoch, last LSN, counts)

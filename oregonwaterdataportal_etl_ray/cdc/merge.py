@@ -12,7 +12,8 @@ Semantics ported from the reference (SURVEY.md §2.8):
 
 Everything here is vectorized Arrow/numpy — no Python row loops:
   * ``reduce_lww``      — winner-per-key within one Arrow table (argmax LSN).
-  * ``NormalizeEvents`` — stateful map_batches stage (actor pool): schema
+  * ``NormalizeEvents`` — map_batches stage (instance-based task pool — its
+    state is tiny, so tasks beat an actor pool's ramp-up): schema
     conformance, LSN parse, bucket hash, watermark filter, partial LWW reduce.
     The partial reduce is the combiner that shrinks the shuffle: duplicate
     deliveries and intra-block overwrites collapse *before* the all-to-all
@@ -103,12 +104,13 @@ def reduce_lww(t: pa.Table) -> pa.Table:
 
 
 class NormalizeEvents:
-    """Actor-pool map_batches stage: conform -> lsn -> bucket -> filter -> combine.
+    """map_batches stage: conform -> lsn -> bucket -> filter -> combine.
 
-    Stateful setup (evolution spec, target schema, watermark table) happens
-    once per actor in ``__init__`` (the reference's build-once ontology-dict
-    pattern, /root/reference/userCode/ontology.py:331-382); per-batch work is
-    pure Arrow kernels.
+    Setup (evolution spec, target schema, watermark table) happens once in
+    ``__init__`` (the reference's build-once ontology-dict pattern,
+    /root/reference/userCode/ontology.py:331-382); the engine passes an
+    INSTANCE so Ray runs it as a task pool — full parallelism from the first
+    batch. Per-batch work is pure Arrow kernels.
 
     ``watermarks``: OPTIONAL dict bucket -> last_applied_lsn. Rows with
     ``lsn <= watermark[bucket]`` are dropped — the strict half-open resume
