@@ -116,3 +116,39 @@ def test_tombstone_gc_preserves_final_table(corpus, tmp_path):
     eng2 = CdcEngine(state, num_buckets=8, compact_every=2)
     eng2.replay(corpus["files"], epoch_size=2)
     _assert_matches_oracle(eng2, corpus["files"])
+
+
+def test_merge_task_retry_is_noop(corpus, tmp_path):
+    """Simulate Ray retrying a merge task after its first attempt committed:
+    the manifest epoch check must short-circuit, leaving state and lineage
+    byte-identical (the exactly-once-under-retry contract)."""
+    import json
+
+    from oregonwaterdataportal_etl_ray.cdc.engine import _merge_bucket
+    from oregonwaterdataportal_etl_ray.cdc.merge import NormalizeEvents
+    from oregonwaterdataportal_etl_ray.cdc.schema import EvolutionSpec, plan_target_schema
+    import pyarrow.parquet as pq
+
+    state = str(tmp_path / "state")
+    eng = CdcEngine(state, num_buckets=4, compact_every=10)
+    files = corpus["files"][:2]
+    target = plan_target_schema(files, EvolutionSpec())
+    eng.save_schema(target)
+    ne = NormalizeEvents(target, num_buckets=4)
+    batch = ne(pq.read_table(files[0]))
+    one_bucket = batch.filter(
+        __import__("pyarrow").compute.equal(batch["bucket"], batch["bucket"][0]))
+
+    first = _merge_bucket(one_bucket, state_dir=state, epoch=0, compact_every=10)
+    assert first["committed"][0].as_py() is True
+    manifest_after = json.dumps(sorted(
+        (m.bucket, m.epoch, m.last_applied_lsn, tuple(m.runs))
+        for m in eng.lineage().values()))
+
+    retry = _merge_bucket(one_bucket, state_dir=state, epoch=0, compact_every=10)
+    assert retry["committed"][0].as_py() is False      # short-circuited
+    assert retry["applied"][0].as_py() == 0
+    manifest_retry = json.dumps(sorted(
+        (m.bucket, m.epoch, m.last_applied_lsn, tuple(m.runs))
+        for m in eng.lineage().values()))
+    assert manifest_after == manifest_retry
