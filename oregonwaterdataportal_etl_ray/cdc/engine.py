@@ -73,6 +73,22 @@ def _read_rel(state_dir: str, rel: str) -> pa.Table:
     return pq.read_table(os.path.join(state_dir, rel))
 
 
+def _unlink_superseded(state_dir: str, rel_paths: list[str], keep: set) -> None:
+    """Best-effort removal of state files a committed manifest no longer
+    references — without this, long-running tail mode grows disk with every
+    compaction (the old base + folded runs stay orphaned forever). Runs AFTER
+    the manifest commit: a crash in between leaves unreferenced files (a
+    bounded space leak, never a dangling reference).
+    """
+    for rel in rel_paths:
+        if rel in keep:
+            continue
+        try:
+            os.unlink(os.path.join(state_dir, rel))
+        except OSError:
+            pass
+
+
 def _merge_bucket(group: pa.Table, *, state_dir: str, epoch: int,
                   compact_every: int) -> pa.Table:
     """Merge one bucket's epoch delta against its committed LSM state.
@@ -115,10 +131,12 @@ def _merge_bucket(group: pa.Table, *, state_dir: str, epoch: int,
 
     base_file = m.base_file
     row_count = m.row_count
+    superseded: list[str] = []
     if runs and len(runs) >= compact_every:
         parts = ([_read_rel(state_dir, base_file)] if base_file else []) + \
                 [_read_rel(state_dir, r) for r in runs]
         merged = merge_sorted_runs(parts).sort_by([("__key", "ascending")])
+        superseded = ([base_file] if base_file else []) + runs
         base_file = f"data/bucket={bucket:05d}/base-{epoch:05d}.parquet"
         atomic_write_table(os.path.join(state_dir, base_file), merged)
         row_count = merged.num_rows - merged.column("content").null_count
@@ -130,6 +148,8 @@ def _merge_bucket(group: pa.Table, *, state_dir: str, epoch: int,
     write_manifest(state_dir, BucketManifest(
         bucket=bucket, epoch=epoch, last_applied_lsn=new_last,
         row_count=row_count, base_file=base_file, runs=runs, stats=stats))
+    if superseded:
+        _unlink_superseded(state_dir, superseded, keep={base_file})
     return _stats_row(bucket=bucket, epoch=epoch, applied=fresh.num_rows,
                       upserts=n_up, deletes=n_del, skipped_stale=n_stale,
                       last_applied_lsn=new_last, committed=True)
@@ -304,19 +324,28 @@ class CdcEngine:
         ``fail_after_epoch`` is a test hook that raises after committing that
         many epochs (kill-and-resume suites)."""
         epoch_size = epoch_size or len(files)
-        groups = [files[i:i + epoch_size] for i in range(0, len(files), epoch_size)]
         done = self.committed_epochs()
+        # resume by FILE SET, not epoch position: committed lineage records
+        # each epoch's file list, so files already applied are skipped even if
+        # the caller's grouping differs from the original run's (e.g. a tail
+        # session interleaved with one-shot replays, or late-arriving files
+        # that sort before already-applied ones)
+        applied = {f for rec in done for f in rec.get("files", [])}
+        pending = [f for f in files if f not in applied]
         result = ReplayResult(epochs=list(done))
-        todo = [(i, g) for i, g in enumerate(groups) if i >= len(done)]
+        groups = [pending[i:i + epoch_size]
+                  for i in range(0, len(pending), epoch_size)]
+        todo = [(len(done) + j, g) for j, g in enumerate(groups)]
         if todo:
             planned = plan_target_schema([f for _, g in todo for f in g],
                                          self.evolution)
             if fail_after_epoch is not None:
                 # deterministic epoch-by-epoch path for kill/resume suites
+                last_i = todo[-1][0]
                 for i, group in todo:
                     result.epochs.append(self.apply_epoch(group, epoch=i,
                                                           planned=planned))
-                    if i + 1 >= fail_after_epoch and i + 1 < len(groups):
+                    if i + 1 >= fail_after_epoch and i < last_i:
                         raise RuntimeError(f"injected failure after epoch {i}")
             else:
                 result.epochs.extend(self._replay_pipelined(todo, planned))
@@ -372,37 +401,40 @@ class CdcEngine:
 
     def tail(self, events_dir: str, epoch_size: int = 1,
              poll_interval_s: float = 1.0, max_idle_polls: int = 5,
-             pattern: str = "*.parquet") -> ReplayResult:
-        """Continuous binlog/WAL-tail mode: poll ``events_dir`` for new batch
-        files (lexicographic order = delivery order) and apply them as
-        incremental epochs until ``max_idle_polls`` consecutive polls find
-        nothing new. Resumes from committed lineage like :meth:`replay`, so a
-        killed tailer re-started on the same state dir continues exactly
-        where it left off. The reference's cron-scheduled micro-batch harvest
+             pattern: str = "*.parquet", flush_partial: bool = True) -> ReplayResult:
+        """Continuous binlog/WAL-tail mode: poll ``events_dir`` for batch files
+        not yet in the committed lineage and apply them (sorted order) as
+        incremental epochs, until ``max_idle_polls`` consecutive polls find
+        nothing new. Resume is file-set based (via :meth:`replay`), so files
+        that arrive with names sorting BEFORE already-applied ones are still
+        picked up, and a killed tailer re-started on the same state dir
+        continues exactly where it left off. A trailing partial group waits
+        for its remaining files while polling; on exit it is applied as a
+        final short epoch when ``flush_partial`` (else those files are left
+        for the next session — they are NOT silently forgotten either way).
+        The reference's cron-scheduled micro-batch harvest
         (/root/reference/userCode/wrd/dag.py:375-394) as a long-running job.
         """
         import glob as _glob
         import time as _time
 
-        result = ReplayResult(epochs=list(self.committed_epochs()))
         idle = 0
         while idle < max_idle_polls:
             files = sorted(_glob.glob(os.path.join(events_dir, pattern)))
-            n_groups = len(files) // epoch_size  # only full epochs; a partial
-            # trailing group waits for its remaining files (bounded batches)
-            groups = [files[i * epoch_size:(i + 1) * epoch_size]
-                      for i in range(n_groups)]
-            done = len(self.committed_epochs())
-            if len(groups) <= done:
+            applied = {f for rec in self.committed_epochs()
+                       for f in rec.get("files", [])}
+            pending = [f for f in files if f not in applied]
+            ready = pending[:len(pending) // epoch_size * epoch_size]
+            if not ready:
                 idle += 1
                 _time.sleep(poll_interval_s)
                 continue
             idle = 0
-            planned = plan_target_schema(
-                [f for g in groups[done:] for f in g], self.evolution)
-            for i in range(done, len(groups)):
-                result.epochs.append(self.apply_epoch(groups[i], epoch=i,
-                                                      planned=planned))
+            self.replay(ready, epoch_size=epoch_size)
+        if flush_partial:
+            files = sorted(_glob.glob(os.path.join(events_dir, pattern)))
+            self.replay(files, epoch_size=epoch_size)
+        result = ReplayResult(epochs=self.committed_epochs())
         result.n_applied = sum(r["applied"] for r in result.epochs)
         result.n_upserts = sum(r["upserts"] for r in result.epochs)
         result.n_deletes = sum(r["deletes"] for r in result.epochs)
@@ -440,17 +472,30 @@ class CdcEngine:
                     continue
                 parts = ([_read_rel(state_dir, m.base_file)] if m.base_file else []) + \
                         [_read_rel(state_dir, r) for r in m.runs]
-                merged = merge_sorted_runs(parts).sort_by([("__key", "ascending")])
-                if gc is not None:
+                merged = merge_sorted_runs(parts)
+                n_purged = 0
+                if merged is not None and gc is not None:
                     is_tomb = pc.is_null(merged.column("content"))
                     old = pc.and_(is_tomb, pc.less(merged.column("lsn"), gc))
-                    merged = merged.filter(pc.invert(old))
-                base_file = f"data/bucket={m.bucket:05d}/base-{m.epoch:05d}.parquet"
-                atomic_write_table(os.path.join(state_dir, base_file), merged)
-                m.base_file = base_file
-                m.row_count = merged.num_rows - merged.column("content").null_count
+                    n_purged = pc.sum(old).as_py() or 0
+                    if n_purged:
+                        merged = merged.filter(pc.invert(old))
+                if not m.runs and n_purged == 0:
+                    continue  # GC-only pass with nothing purgeable: no rewrite
+                old_files = ([m.base_file] if m.base_file else []) + list(m.runs)
+                if merged is None or merged.num_rows == 0:
+                    m.base_file = None
+                else:
+                    merged = merged.sort_by([("__key", "ascending")])
+                    base_file = f"data/bucket={m.bucket:05d}/base-{m.epoch:05d}.parquet"
+                    atomic_write_table(os.path.join(state_dir, base_file), merged)
+                    m.base_file = base_file
+                m.row_count = 0 if merged is None else \
+                    merged.num_rows - merged.column("content").null_count
                 m.runs = []
                 write_manifest(state_dir, m)
+                _unlink_superseded(state_dir, old_files,
+                                   keep={m.base_file} if m.base_file else set())
                 done.append(int(b))
             return pa.table({"bucket": pa.array(done, pa.int32())})
 

@@ -59,8 +59,21 @@ class TDigest:
     def add(self, values: np.ndarray) -> "TDigest":
         v = np.asarray(values, dtype=np.float64)
         v = v[~np.isnan(v)]
-        m = np.concatenate([self.means, v])
-        w = np.concatenate([self.weights, np.ones(len(v))])
+        if len(v) == 0:
+            return self
+        # vectorized pre-clustering: the raw values NEVER pass through the
+        # scalar _compress loop (that would be one Python iteration per input
+        # row in the hot combiner). Sort and cut into ~2*compression
+        # equal-weight clusters via reduceat; the bounded centroid list then
+        # goes through the scalar k1 merge.
+        v.sort(kind="stable")
+        k = min(len(v), max(1, int(2 * self.compression)))
+        bounds = np.linspace(0, len(v), k + 1).astype(np.int64)
+        starts = np.unique(bounds[:-1])
+        counts = np.diff(np.r_[starts, len(v)]).astype(np.float64)
+        sums = np.add.reduceat(v, starts)
+        m = np.concatenate([self.means, sums / counts])
+        w = np.concatenate([self.weights, counts])
         self.means, self.weights = _compress(m, w, self.compression)
         return self
 
@@ -113,5 +126,5 @@ def merge_digest_group(g: pa.Table, group_col: str, quantiles: list[float],
         d.merge(TDigest(compression, np.asarray(m), np.asarray(w)))
     out = {group_col: [g[group_col][0].as_py()]}
     for q in quantiles:
-        out[f"p{int(q * 100)}"] = pa.array([d.quantile(q)], pa.float64())
+        out[f"p{round(q * 100)}"] = pa.array([d.quantile(q)], pa.float64())
     return pa.table(out)

@@ -70,9 +70,11 @@ def asof_prev_group(t: pa.Table, left_type: str = "click",
     first = np.ones(n, dtype=bool)
     first[1:] = ks[1:] != ks[:-1]
     seg_start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
-    # running index of the latest right_type row seen so far (global cummax),
-    # shifted one row back => "strictly earlier"; invalid if before segment
-    idx = np.where(et == right_type, np.arange(n), -1)
+    # running index of the latest NON-NULL right_type value seen so far
+    # (IGNORE NULLS semantics: a null view value is transparent, the lookup
+    # skips back to the previous non-null one), shifted one row back =>
+    # "strictly earlier"; invalid if before segment
+    idx = np.where((et == right_type) & ~np.isnan(v), np.arange(n), -1)
     cummax = np.maximum.accumulate(idx)
     prev = np.concatenate(([np.int64(-1)], cummax[:-1]))
     ok = prev >= seg_start
@@ -90,7 +92,8 @@ def asof_prev_group(t: pa.Table, left_type: str = "click",
 def rolling_avg_group(t: pa.Table, window: int = 4) -> pa.Table:
     """Moving average of ``value`` over the trailing ``window`` rows per user
     (fewer at each user's start): cumsum difference with per-user clamping —
-    one vectorized pass per bucket, no per-key loop."""
+    one vectorized pass per bucket, no per-key loop. Nulls are excluded from
+    both sum and count (SQL AVG semantics); an all-null window yields null."""
     order, ks, _ = _sorted_keys(t, "user_id", "ts", "event_id")
     v = t.column("value").to_numpy(zero_copy_only=False)[order]
     ev = t.column("event_id").to_numpy(zero_copy_only=False)[order]
@@ -98,13 +101,19 @@ def rolling_avg_group(t: pa.Table, window: int = 4) -> pa.Table:
     first = np.ones(n, dtype=bool)
     first[1:] = ks[1:] != ks[:-1]
     seg_start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
-    csum = np.concatenate(([0.0], np.cumsum(v)))
+    notnull = ~np.isnan(v)
+    csum = np.concatenate(([0.0], np.cumsum(np.where(notnull, v, 0.0))))
+    ccnt = np.concatenate(([0], np.cumsum(notnull.astype(np.int64))))
     pos = np.arange(n)
     lo = np.maximum(pos - window + 1, seg_start)
-    avg = (csum[pos + 1] - csum[lo]) / (pos - lo + 1)
+    wcnt = ccnt[pos + 1] - ccnt[lo]
+    with np.errstate(invalid="ignore"):
+        avg = np.where(wcnt > 0, (csum[pos + 1] - csum[lo]) / np.maximum(wcnt, 1),
+                       np.nan)
+    avg_arr = pa.Array.from_pandas(pd.Series(np.round(avg, 6)).mask(wcnt == 0))
     return pa.table({
         "user_id": pa.array(ks), "event_id": pa.array(ev),
-        "avg4": pa.array(np.round(avg, 6), pa.float64()),
+        "avg4": avg_arr.cast(pa.float64()),
     })
 
 

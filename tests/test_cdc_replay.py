@@ -105,10 +105,19 @@ def test_tombstone_gc_preserves_final_table(corpus, tmp_path):
     before = _assert_matches_oracle(eng, corpus["files"])
 
     eng.compact()  # fold runs so stored rows include retained tombstones
-    stored_before = sum(m.row_count for m in eng.lineage().values())
+
+    def stored_rows():
+        import glob
+        import pyarrow.parquet as pq
+        return sum(pq.read_metadata(f).num_rows
+                   for f in glob.glob(f"{state}/data/**/*.parquet", recursive=True))
+
+    stored_before = stored_rows()
+    assert stored_before > len(before)  # tombstones are physically retained
     gc_lsn = eng.safe_tombstone_gc_lsn()
     assert gc_lsn > 0
     eng.compact(purge_tombstones_below_lsn=gc_lsn)
+    assert stored_rows() < stored_before  # GC physically reclaimed markers
     after = _assert_matches_oracle(eng, corpus["files"])
     assert list(before["sha256"]) == list(after["sha256"])
 
@@ -152,3 +161,23 @@ def test_merge_task_retry_is_noop(corpus, tmp_path):
         (m.bucket, m.epoch, m.last_applied_lsn, tuple(m.runs))
         for m in eng.lineage().values()))
     assert manifest_after == manifest_retry
+
+
+def test_late_file_sorting_before_applied_is_still_ingested(corpus, tmp_path):
+    """Regression: resume is file-set based, so a batch file whose name sorts
+    BEFORE an already-applied file is still applied (a positional resume
+    would silently skip it and double-apply the other)."""
+    files = corpus["files"]
+    state = str(tmp_path / "state")
+    eng = CdcEngine(state, num_buckets=8, compact_every=3)
+    eng.replay([files[3]], epoch_size=1)          # later-named file first
+    eng.replay(sorted(files[:4]), epoch_size=1)   # earlier names arrive late
+    assert len(eng.committed_epochs()) == 4
+    applied = [f for rec in eng.committed_epochs() for f in rec["files"]]
+    assert sorted(applied) == sorted(files[:4])
+
+    final = eng.final_table().to_pandas().sort_values(["repo", "path"]) \
+        .reset_index(drop=True)
+    want = oracle_replay(files[:4]).sort_values(["repo", "path"]) \
+        .reset_index(drop=True)
+    assert list(final["sha256"]) == list(want["sha256"])
