@@ -3,7 +3,11 @@
 Exact dedup generalizes the reference's derived-key dedup
 (/root/reference/userCode/util.py:30-37 + userCode/wrd/dag.py:221-226);
 near-dup (MinHash-LSH / SimHash / n-gram Jaccard) are the web-scale
-extensions.
+extensions, built from the public literature: MinHash resemblance sketches
+(Broder, "On the resemblance and containment of documents", SEQUENCES 1997),
+banded LSH (Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" ch. 3),
+and SimHash random-hyperplane fingerprints (Charikar, "Similarity estimation
+techniques from rounding algorithms", STOC 2002).
 
 Scale shapes (100 TB):
   exact   : md5(content) in map_batches -> groupby(hash) -> keep-first.
