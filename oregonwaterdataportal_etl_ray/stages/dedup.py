@@ -47,25 +47,52 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 
 
 class MinHasher:
-    """Stateful map_batches stage: text -> num_perm minhash signature.
+    """Stateful map_batches stage: text -> num_perm minhash signature via
+    one-permutation hashing (OPH).
 
-    Permutation parameters are drawn once per actor in __init__ from a fixed
-    seed, so every actor on every node uses identical hash families."""
+    Classic minhash costs O(S * P) per document (an outer product of S
+    shingles with P permutations); OPH hashes each shingle ONCE, buckets it
+    into one of P bins by its top bits, and keeps the per-bin minimum —
+    O(S + P) — then fills empty bins by rotation densification so the
+    equal-bin fraction stays an unbiased Jaccard estimate (Shrivastava &
+    Li, "Improved Densification of One Permutation Hashing", UAI 2014 —
+    public paper). ``num_perm`` must be a power of two. Mixing constants are
+    fixed, so every actor on every node produces identical signatures."""
 
     def __init__(self, num_perm: int = 64, k: int = 5, text_col: str = "text",
                  seed: int = 1234):
+        assert num_perm & (num_perm - 1) == 0, "num_perm must be a power of 2"
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.mix_a = np.uint64(int(rng.integers(1, 2**63, dtype=np.uint64)) | 1)
+        self.mix_b = np.uint64(int(rng.integers(0, 2**63, dtype=np.uint64)))
         self.num_perm = num_perm
+        self.shift = np.uint64(64 - int(np.log2(num_perm)))
         self.k = k
         self.text_col = text_col
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text or "", self.k)  # (S,)
-        # (S, P) universal hashing mod Mersenne prime, then min over shingles
-        x = (np.outer(sh, self.a) + self.b) % np.uint64(_MERSENNE)
-        return x.min(axis=0)
+        sh = _shingle_hashes(text or "", self.k)  # (S,) unique uint64
+        mixed = sh * self.mix_a + self.mix_b      # decorrelate bin vs value
+        bins = (mixed >> self.shift).astype(np.int64)
+        sig = np.full(self.num_perm, np.uint64(0xFFFFFFFFFFFFFFFF))
+        np.minimum.at(sig, bins, mixed)
+        empty = sig == np.uint64(0xFFFFFFFFFFFFFFFF)
+        if empty.any():
+            if empty.all():
+                return np.zeros(self.num_perm, dtype=np.uint64)
+            # rotation densification: borrow the nearest filled bin to the
+            # left (circular), offset-mixed so borrowed values differ per bin
+            idx = np.arange(self.num_perm)
+            filled_idx = np.where(empty, -1, idx)
+            src = np.maximum.accumulate(filled_idx)
+            wrap = src < 0  # empties before the first filled bin wrap around
+            if wrap.any():
+                last = np.maximum.accumulate(
+                    np.concatenate([filled_idx, filled_idx]))[self.num_perm:]
+                src = np.where(wrap, last, src)
+            borrowed = sig[src] + (idx - src).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            sig = np.where(empty, borrowed, sig)
+        return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = [self.signature(s) for s in batch[self.text_col].to_pylist()]
