@@ -646,7 +646,7 @@ def doc_fingerprint(sf_dir: str):
 
 
 @_q("lang_doc_stats", """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang
 """)
 def lang_doc_stats(sf_dir: str):
@@ -656,21 +656,59 @@ def lang_doc_stats(sf_dir: str):
                                         Sum("n_chars", alias_name="total_chars"))
 
 
-# --- non-SQL-expressible ops (rows-only checks) ---------------------------
+_STOP_RE = r"(?i)\b(?:the|and|of|to|a|in|is|it|that|for)\b"
 
-@_q("quality_scores")
+
+@_q("quality_scores", f"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
+         len(regexp_extract_all(text, '{_STOP_RE}')) AS ns
+  FROM documents)
+SELECT doc_id,
+       CAST(ns AS BIGINT) AS n_stopwords,
+       ROUND(CASE WHEN nc > 0 THEN na * 1.0 / nc ELSE 0 END, 6) AS alpha_ratio,
+       ROUND(0.4 * LEAST(nc / 1000.0, 1.0)
+           + 0.4 * (CASE WHEN nc > 0 THEN na * 1.0 / nc ELSE 0 END)
+           + 0.2 * LEAST((CASE WHEN nc > 0 THEN 100.0 * ns / nc ELSE 0 END) / 3.0, 1.0),
+             6) AS quality_score
+FROM s
+""")
 def quality_scores(sf_dir: str):
-    """Heuristic quality scoring (float score; integer parts tested in SQL
-    via char_class_counts)."""
+    """Heuristic quality scoring — fully deterministic, so the float formula
+    is replicated in the DuckDB oracle (round-6 both sides)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(QualityScore, fn_constructor_kwargs=dict(),
                          batch_format="pyarrow", concurrency=_conc())
     return out.select_columns(["doc_id", "n_stopwords", "alpha_ratio", "quality_score"])
 
 
-@_q("langid_pred")
+def _marker_sum_sql(lang: str) -> str:
+    from ..stages.text import _LANG_MARKERS
+    return " + ".join(
+        f"len(regexp_extract_all(lower(text), '{m}'))" for m in _LANG_MARKERS[lang])
+
+
+@_q("langid_pred", f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_marker_sum_sql('en')} AS s_en,
+         {_marker_sum_sql('de')} AS s_de,
+         {_marker_sum_sql('fr')} AS s_fr,
+         {_marker_sum_sql('es')} AS s_es
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+            WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred,
+       CAST(GREATEST(s_en, s_de, s_fr, s_es) AS BIGINT) AS lang_score
+FROM s
+""")
 def langid_pred(sf_dir: str):
-    """Marker-n-gram language ID (model-free heuristic)."""
+    """Marker-n-gram language ID (model-free heuristic, deterministic — the
+    argmax-with-fixed-tiebreak is replicated as a CASE chain in the oracle)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     out = ds.map_batches(LangId, fn_constructor_kwargs=dict(),
                          batch_format="pyarrow", concurrency=_conc())
@@ -931,9 +969,19 @@ def multimodal_payload_stats(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-@_q("multimodal_decode")
+@_q("multimodal_decode", """
+SELECT doc_id,
+       CAST(16 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) % 64
+            AS INTEGER) AS height,
+       CAST(16 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) % 64
+            AS INTEGER) AS width,
+       CAST(concat('0x', substr(md5(text), 5, 2)) AS INTEGER) / 255.0 AS mean_intensity
+FROM documents
+""")
 def multimodal_decode(sf_dir: str):
-    """STUB decode pipeline over opaque payloads (actor pool, small batches)."""
+    """STUB decode pipeline over opaque payloads (actor pool, small batches).
+    The fake decode derives features from the payload md5 deterministically,
+    so the oracle replicates the md5-byte arithmetic in SQL."""
     from ..stages.multimodal import FakeDecoder
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     as_bin = ds.map_batches(

@@ -73,9 +73,12 @@ class QualityScore:
             stop_per_100 = np.where(nc > 0, 100.0 * ns / nc, 0.0)
         len_score = np.clip(nc / 1000.0, 0.0, 1.0)
         score = 0.4 * len_score + 0.4 * alpha_ratio + 0.2 * np.clip(stop_per_100 / 3.0, 0, 1)
+        # round half-away-from-zero (= SQL ROUND), not np.round's half-even —
+        # the oracle replicates this formula in DuckDB digit for digit
+        r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731 (x >= 0 here)
         out = batch.append_column("n_stopwords", n_stop)
-        out = out.append_column("alpha_ratio", pa.array(np.round(alpha_ratio, 6)))
-        out = out.append_column("quality_score", pa.array(np.round(score, 6)))
+        out = out.append_column("alpha_ratio", pa.array(r6(alpha_ratio)))
+        out = out.append_column("quality_score", pa.array(r6(score)))
         return out
 
 
