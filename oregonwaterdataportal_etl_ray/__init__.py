@@ -23,11 +23,27 @@ __version__ = "0.1.0"
 # Arrow's internal thread pool defaults to the machine's core count in every
 # process that imports pyarrow — inside Ray workers that oversubscribes cores
 # N-fold (measured: 32-CPU replay throughput +60% with this cap). Ray supplies
-# the parallelism; Arrow kernels stay single-threaded per task. Opt out with
-# GRAFT_ARROW_THREADS.
+# the parallelism; Arrow kernels stay single-threaded per task. The cap is
+# scoped to Ray WORKER processes only (Ray itself also exports
+# OMP_NUM_THREADS=1 there) — a driver or host application embedding this
+# library keeps its own Arrow pools untouched. Opt out / tune with
+# GRAFT_ARROW_THREADS / GRAFT_ARROW_IO_THREADS (honored as given).
 import os as _os
+import sys as _sys
 
-import pyarrow as _pa
 
-_pa.set_cpu_count(int(_os.environ.get("GRAFT_ARROW_THREADS", "1")))
-_pa.set_io_thread_count(max(2, int(_os.environ.get("GRAFT_ARROW_IO_THREADS", "2"))))
+def _in_ray_worker() -> bool:
+    ray = _sys.modules.get("ray")
+    if ray is None:
+        return False
+    try:
+        return ray._private.worker.global_worker.mode == ray.WORKER_MODE
+    except Exception:
+        return False
+
+
+if _in_ray_worker():
+    import pyarrow as _pa
+
+    _pa.set_cpu_count(int(_os.environ.get("GRAFT_ARROW_THREADS", "1")))
+    _pa.set_io_thread_count(int(_os.environ.get("GRAFT_ARROW_IO_THREADS", "2")))

@@ -329,13 +329,28 @@ class CdcEngine:
         # each epoch's file list, so files already applied are skipped even if
         # the caller's grouping differs from the original run's (e.g. a tail
         # session interleaved with one-shot replays, or late-arriving files
-        # that sort before already-applied ones)
-        applied = {f for rec in done for f in rec.get("files", [])}
+        # that sort before already-applied ones). Paths are normalized so a
+        # restart spelling events_dir differently (relative vs absolute,
+        # through a symlink) cannot re-apply committed files as new epochs.
+        files = [os.path.realpath(f) for f in files]
+        applied = {os.path.realpath(f) for rec in done for f in rec.get("files", [])}
         pending = [f for f in files if f not in applied]
         result = ReplayResult(epochs=list(done))
         groups = [pending[i:i + epoch_size]
                   for i in range(0, len(pending), epoch_size)]
-        todo = [(len(done) + j, g) for j, g in enumerate(groups)]
+        # Never reuse a possibly-partially-applied epoch number for a
+        # DIFFERENT file group: if a run crashed after some bucket manifests
+        # committed at epoch E but before E's lineage record was written,
+        # resuming with E assigned to a new group (late-arriving file sorting
+        # earlier, changed epoch_size) would make those buckets silently
+        # discard the new group's never-applied rows as stale. Allocate from
+        # past the highest bucket-manifest epoch instead — re-applying the
+        # crashed epoch's own files at a higher number is LWW-idempotent.
+        max_bucket_epoch = max(
+            (m.epoch for m in load_all_manifests(self.state_dir).values()),
+            default=-1)
+        start = max(len(done), max_bucket_epoch + 1)
+        todo = [(start + j, g) for j, g in enumerate(groups)]
         if todo:
             planned = plan_target_schema([f for _, g in todo for f in g],
                                          self.evolution)
@@ -364,9 +379,11 @@ class CdcEngine:
         Merges stay strictly sequential — only one merge thread exists at a
         time, so watermark/lineage semantics are identical to the serial path;
         the overlap only hides the pipeline fill latency of the next epoch's
-        scan behind the current epoch's commit. ``materialize()`` here pins
-        ONE epoch's combined winners (not the input) in the object store —
-        bounded by epoch size, which is the micro-batch knob.
+        scan behind the current epoch's commit. ``materialize()`` pins an
+        epoch's combined winners (not the input) in the object store; while
+        epoch i's merge drains, epoch i+1 is already materializing, so up to
+        TWO epochs' winners are pinned concurrently — size ``epoch_size``
+        (the micro-batch knob) for 2x one epoch's winner footprint.
         """
         import threading
 
@@ -420,8 +437,9 @@ class CdcEngine:
 
         idle = 0
         while idle < max_idle_polls:
-            files = sorted(_glob.glob(os.path.join(events_dir, pattern)))
-            applied = {f for rec in self.committed_epochs()
+            files = sorted(os.path.realpath(f)
+                           for f in _glob.glob(os.path.join(events_dir, pattern)))
+            applied = {os.path.realpath(f) for rec in self.committed_epochs()
                        for f in rec.get("files", [])}
             pending = [f for f in files if f not in applied]
             ready = pending[:len(pending) // epoch_size * epoch_size]
@@ -503,10 +521,20 @@ class CdcEngine:
         return ds.map_batches(compact_batch, batch_format="pyarrow",
                               batch_size=2).count()
 
-    def safe_tombstone_gc_lsn(self, disorder_bound: int = 0) -> int:
+    def safe_tombstone_gc_lsn(self, disorder_bound: int) -> int:
         """Conservative tombstone-GC watermark: no bucket has applied past
         this point minus the source's out-of-order bound, so no event below
-        it can still arrive through the exactly-once replay path."""
+        it can still arrive through the exactly-once replay path.
+
+        ``disorder_bound`` is REQUIRED and must be the source's re-delivery
+        bound: the engine deliberately applies rows with LSNs below a
+        bucket's ``last_applied_lsn`` in later epochs (bounded out-of-order
+        delivery is legitimate), so ``disorder_bound=0`` is only safe when
+        the source never delivers below each bucket's max applied LSN.
+        Pass the largest LSN gap the source can re-deliver across epochs."""
+        if disorder_bound is None or disorder_bound < 0:
+            raise ValueError("disorder_bound must be a non-negative int "
+                             "(the source's max out-of-order re-delivery gap)")
         manifests = load_all_manifests(self.state_dir)
         if not manifests:
             return 0

@@ -114,7 +114,9 @@ def test_tombstone_gc_preserves_final_table(corpus, tmp_path):
 
     stored_before = stored_rows()
     assert stored_before > len(before)  # tombstones are physically retained
-    gc_lsn = eng.safe_tombstone_gc_lsn()
+    # this corpus is fully delivered: nothing will ever re-arrive, so the
+    # source's out-of-order bound is 0 (the bound is REQUIRED — see engine)
+    gc_lsn = eng.safe_tombstone_gc_lsn(disorder_bound=0)
     assert gc_lsn > 0
     eng.compact(purge_tombstones_below_lsn=gc_lsn)
     assert stored_rows() < stored_before  # GC physically reclaimed markers
@@ -161,6 +163,34 @@ def test_merge_task_retry_is_noop(corpus, tmp_path):
         (m.bucket, m.epoch, m.last_applied_lsn, tuple(m.runs))
         for m in eng.lineage().values()))
     assert manifest_after == manifest_retry
+
+
+def test_crash_between_manifest_and_lineage_loses_nothing(corpus, tmp_path):
+    """Regression (round-1 advice, high): a run that crashes AFTER bucket
+    manifests commit at epoch E but BEFORE E's lineage record is written
+    must not let a resumed run — whose first pending group holds DIFFERENT
+    files (late-arriving name sorting earlier) — silently discard those
+    files' rows as stale. Epochs are allocated past the max bucket-manifest
+    epoch, so the new group never reuses the partially-applied number."""
+    files = sorted(corpus["files"])
+    state = str(tmp_path / "state")
+    eng = CdcEngine(state, num_buckets=8, compact_every=10)
+    eng.replay(files[:2], epoch_size=1)             # epochs 0, 1 committed
+
+    crash = CdcEngine(state, num_buckets=8, compact_every=10)
+
+    def boom(rec):
+        raise RuntimeError("injected crash before lineage commit")
+
+    crash._commit_epoch = boom                      # manifests commit, lineage doesn't
+    with pytest.raises(RuntimeError, match="injected crash"):
+        crash.replay(files[:3], epoch_size=1)
+
+    # resume with a different pending group ordering: files[3] arrives late
+    # but is handed to replay FIRST, so it forms the first pending epoch
+    resumed = CdcEngine(state, num_buckets=8, compact_every=10)
+    resumed.replay([files[3]] + files[:3], epoch_size=1)
+    _assert_matches_oracle(resumed, files[:4])
 
 
 def test_late_file_sorting_before_applied_is_still_ingested(corpus, tmp_path):
