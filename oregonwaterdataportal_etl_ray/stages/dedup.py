@@ -32,18 +32,79 @@ import pyarrow.compute as pc
 # ---------------------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
+_BASE = np.uint64(1099511628211)
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """64-bit rolling hashes of all k-byte shingles (uint64)."""
+    """64-bit rolling hashes of all k-byte shingles (uint64). Texts shorter
+    than k hash as ONE shingle of their zero-padded k bytes (deterministic —
+    never Python's salted ``hash``). Per-doc reference for the batch kernels
+    below; kept for tests and small ad-hoc use."""
     b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
     if len(b) < k:
-        return np.array([hash(text) & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
-    base = np.uint64(1099511628211)
+        b = np.concatenate([b, np.zeros(k - len(b), dtype=np.uint8)])
     acc = np.zeros(len(b) - k + 1, dtype=np.uint64)
     for i in range(k):
-        acc = acc * base + b[i:len(b) - k + 1 + i].astype(np.uint64)
+        acc = acc * _BASE + b[i:len(b) - k + 1 + i].astype(np.uint64)
     return np.unique(acc)
+
+
+def _within(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (the intra-segment index)."""
+    total = int(counts.sum())
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def _batch_shingle_hashes(col, k: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Rolling k-byte shingle hashes for EVERY document of a column in one
+    vectorized pass: concatenate all texts' utf-8 bytes, run the k rolling
+    passes once over the whole buffer, keep only positions whose shingle
+    stays inside its own document. Returns (hashes, doc_index, n_docs) —
+    hashes may contain per-doc duplicates (caller dedups if it must).
+
+    This replaces the round-1 per-document Python loop (the single most
+    expensive stage in the bench battery at 18 s / sf0.1)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = pc.cast(pc.fill_null(col, ""), pa.large_binary())
+    n = len(arr)
+    if n == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64), 0)
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset:arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[off[0]:off[-1]]
+    starts = off - off[0]
+    lens = np.diff(starts)
+
+    # long docs (len >= k): every in-doc position
+    vcounts = np.maximum(lens - k + 1, 0)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), vcounts)
+    pos = starts[:-1][doc_idx] + _within(vcounts)
+    L = len(data)
+    if L >= k:
+        acc = np.zeros(L - k + 1, dtype=np.uint64)
+        for i in range(k):
+            acc = acc * _BASE + data[i:L - k + 1 + i].astype(np.uint64)
+        hashes = acc[pos]
+    else:
+        hashes = np.empty(0, np.uint64)
+
+    # short docs (len < k): one zero-padded k-byte shingle each
+    sidx = np.flatnonzero(lens < k)
+    if len(sidx):
+        slens = lens[sidx]
+        pad = np.zeros((len(sidx), k), dtype=np.uint8)
+        w = _within(slens)
+        pad[np.repeat(np.arange(len(sidx)), slens), w] = \
+            data[np.repeat(starts[:-1][sidx], slens) + w]
+        sacc = np.zeros(len(sidx), dtype=np.uint64)
+        for i in range(k):
+            sacc = sacc * _BASE + pad[:, i].astype(np.uint64)
+        hashes = np.concatenate([hashes, sacc])
+        doc_idx = np.concatenate([doc_idx, sidx.astype(np.int64)])
+    return hashes, doc_idx, n
 
 
 class MinHasher:
@@ -71,32 +132,55 @@ class MinHasher:
         self.text_col = text_col
 
     def signature(self, text: str) -> np.ndarray:
+        """Per-document reference path (tests / ad-hoc); identical output to
+        the batched ``__call__`` kernel."""
         sh = _shingle_hashes(text or "", self.k)  # (S,) unique uint64
         mixed = sh * self.mix_a + self.mix_b      # decorrelate bin vs value
         bins = (mixed >> self.shift).astype(np.int64)
         sig = np.full(self.num_perm, np.uint64(0xFFFFFFFFFFFFFFFF))
         np.minimum.at(sig, bins, mixed)
+        return self._densify(sig[None, :])[0]
+
+    def _densify(self, sig: np.ndarray) -> np.ndarray:
+        """Rotation densification over an (N, P) signature matrix: each empty
+        bin borrows the nearest filled bin to its left (circular), offset-
+        mixed so borrowed values differ per bin. Rows with no filled bin at
+        all become all-zero. Fully vectorized across documents."""
+        n, p = sig.shape
         empty = sig == np.uint64(0xFFFFFFFFFFFFFFFF)
-        if empty.any():
-            if empty.all():
-                return np.zeros(self.num_perm, dtype=np.uint64)
-            # rotation densification: borrow the nearest filled bin to the
-            # left (circular), offset-mixed so borrowed values differ per bin
-            idx = np.arange(self.num_perm)
-            filled_idx = np.where(empty, -1, idx)
-            src = np.maximum.accumulate(filled_idx)
-            wrap = src < 0  # empties before the first filled bin wrap around
-            if wrap.any():
-                last = np.maximum.accumulate(
-                    np.concatenate([filled_idx, filled_idx]))[self.num_perm:]
-                src = np.where(wrap, last, src)
-            borrowed = sig[src] + (idx - src).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-            sig = np.where(empty, borrowed, sig)
+        if not empty.any():
+            return sig
+        idx = np.arange(p)
+        filled_idx = np.where(empty, -1, idx[None, :])
+        src = np.maximum.accumulate(filled_idx, axis=1)
+        wrap = src < 0  # empties before the first filled bin wrap around
+        if wrap.any():
+            last = np.maximum.accumulate(
+                np.concatenate([filled_idx, filled_idx], axis=1), axis=1)[:, p:]
+            src = np.where(wrap, last, src)
+        all_empty = src[:, -1] < 0
+        srcc = np.clip(src, 0, p - 1)
+        borrowed = np.take_along_axis(sig, srcc, axis=1) + \
+            (idx[None, :] - srcc).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        sig = np.where(empty, borrowed, sig)
+        if all_empty.any():
+            sig[all_empty] = np.uint64(0)
         return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(s) for s in batch[self.text_col].to_pylist()]
-        arr = pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64()))
+        """Batched OPH: ONE set of rolling-hash passes over the whole batch's
+        concatenated bytes, one scatter-min into (doc, bin)-flattened bins,
+        one vectorized densification — no per-document Python loop."""
+        hashes, doc_idx, n = _batch_shingle_hashes(batch[self.text_col], self.k)
+        p = self.num_perm
+        mixed = hashes * self.mix_a + self.mix_b
+        flat_bins = doc_idx * p + (mixed >> self.shift).astype(np.int64)
+        sig = np.full(n * p, np.uint64(0xFFFFFFFFFFFFFFFF))
+        np.minimum.at(sig, flat_bins, mixed)
+        sig = self._densify(sig.reshape(n, p))
+        arr = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * p, p, dtype=np.int32)),
+            pa.array(sig.reshape(-1), pa.uint64()))
         return batch.append_column("minhash", arr)
 
 
@@ -110,8 +194,13 @@ class BandExploder:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = np.asarray(batch["minhash"].to_pylist(), dtype=np.uint64)  # (N, P)
-        n, p = sigs.shape
+        col = batch["minhash"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        n = len(col)
+        sigs = flat.reshape(n, -1)                # (N, P) zero-copy view
+        p = sigs.shape[1]
         rows_per = p // self.num_bands
         bands = sigs[:, :rows_per * self.num_bands].reshape(n, self.num_bands, rows_per)
         # hash each band slice to one uint64
@@ -147,6 +236,123 @@ def bucket_pairs(group: pa.Table, id_col: str = "doc_id", max_bucket: int = 200)
                      "oversized": pa.array(np.full(len(i), over))})
 
 
+def _segment_pairs(seg_sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized all-pairs (i < j) WITHIN each segment of a concatenated
+    array: returns (row_a, row_b, pair_seg) as indices into the sorted rows.
+
+    Decodes the triangular pair index p -> (i, j) in closed form
+    (j = floor((1+sqrt(1+8p))/2), i = p - j(j-1)/2), so generating the pairs
+    of thousands of tiny LSH buckets is a handful of numpy ops instead of one
+    ``map_groups`` Python call per bucket (the round-1 bottleneck: ~80k
+    bucket-groups made minhash_near_dup the slowest battery item)."""
+    n_pairs = seg_sizes * (seg_sizes - 1) // 2
+    total = int(n_pairs.sum())
+    if total == 0:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    seg_starts = np.concatenate(([0], np.cumsum(seg_sizes)[:-1]))
+    pair_seg = np.repeat(np.arange(len(seg_sizes), dtype=np.int64), n_pairs)
+    p = _within(n_pairs)
+    j = ((1.0 + np.sqrt(1.0 + 8.0 * p)) / 2.0).astype(np.int64)
+    i = p - j * (j - 1) // 2
+    base = seg_starts[pair_seg]
+    return base + i, base + j, pair_seg
+
+
+def pairs_in_partition(t: pa.Table, id_col: str = "doc_id",
+                       group_cols: tuple = ("band_id", "band_hash"),
+                       max_bucket: int = 200) -> pa.Table:
+    """Candidate pairs for EVERY (band_id, band_hash) bucket inside one hash
+    partition, fully vectorized. The caller hash-partitions the exploded
+    band rows into a bounded number of partitions (one ``map_groups`` call
+    each) so pair generation parallelizes without a per-bucket Python call.
+
+    Buckets larger than ``max_bucket`` are truncated to their ``max_bucket``
+    smallest ids and flagged ``oversized`` — a giant bucket means a
+    degenerate band and quadratic pair-gen must be bounded."""
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "oversized": pa.array([], pa.bool_())})
+    if t.num_rows < 2:
+        return empty
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    keys = [t[c].to_numpy(zero_copy_only=False) for c in group_cols]
+    order = np.lexsort((ids,) + tuple(reversed(keys)))
+    ids = ids[order]
+    keys = [k[order] for k in keys]
+    new_seg = np.ones(len(ids), dtype=bool)
+    new_seg[1:] = False
+    for k in keys:
+        new_seg[1:] |= k[1:] != k[:-1]
+    # a doc may appear several times in one bucket (duplicate input rows);
+    # pairs are over UNIQUE ids per bucket, so drop consecutive dups
+    uniq = new_seg.copy()
+    uniq[1:] |= ids[1:] != ids[:-1]
+    if not uniq.all():
+        ids, new_seg = ids[uniq], new_seg[uniq]
+    seg_id = np.cumsum(new_seg) - 1
+    sizes = np.bincount(seg_id)
+    # truncate oversized buckets to their first max_bucket (smallest) ids
+    keep = _within(sizes) < max_bucket
+    if not keep.all():
+        ids = ids[keep]
+        seg_id = seg_id[keep]
+        clipped = np.minimum(sizes, max_bucket)
+    else:
+        clipped = sizes
+    over = sizes > max_bucket
+    ra, rb, pseg = _segment_pairs(clipped)
+    if not len(ra):
+        return empty
+    return pa.table({"id_a": pa.array(ids[ra], pa.int64()),
+                     "id_b": pa.array(ids[rb], pa.int64()),
+                     "oversized": pa.array(over[pseg])})
+
+
+def simhash_pairs_in_partition(t: pa.Table, max_bucket: int = 50,
+                               max_hamming: int = 8) -> pa.Table:
+    """Hamming-verified near-dup pairs for every (band_id, band_key) bucket
+    inside one hash partition (the simhash analog of
+    :func:`pairs_in_partition`; the fingerprint travels with the row, so
+    verification happens inline). Buckets above ``max_bucket`` unique docs
+    are skipped entirely (degenerate band)."""
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+    if t.num_rows < 2:
+        return empty
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    band = t["band_id"].to_numpy(zero_copy_only=False)
+    key = t["band_key"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, key, band))
+    ids, sh, band, key = ids[order], sh[order], band[order], key[order]
+    new_seg = np.ones(len(ids), dtype=bool)
+    new_seg[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+    # unique ids per bucket (first occurrence's fingerprint wins)
+    uniq = new_seg.copy()
+    uniq[1:] |= ids[1:] != ids[:-1]
+    if not uniq.all():
+        ids, sh, new_seg = ids[uniq], sh[uniq], new_seg[uniq]
+    seg_id = np.cumsum(new_seg) - 1
+    sizes = np.bincount(seg_id)
+    keep = (sizes >= 2) & (sizes <= max_bucket)
+    row_keep = keep[seg_id]
+    if not row_keep.all():
+        ids, sh, seg_id = ids[row_keep], sh[row_keep], seg_id[row_keep]
+        sizes = sizes[keep] if keep.any() else np.empty(0, np.int64)
+        if not len(ids):
+            return empty
+    ra, rb, _ = _segment_pairs(sizes)
+    if not len(ra):
+        return empty
+    d = hamming64(sh[ra], sh[rb]).astype(np.int64)
+    ok = d <= max_hamming
+    return pa.table({"id_a": pa.array(ids[ra[ok]], pa.int64()),
+                     "id_b": pa.array(ids[rb[ok]], pa.int64()),
+                     "hamming": pa.array(d[ok])})
+
+
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float((sig_a == sig_b).mean())
 
@@ -163,7 +369,12 @@ def exact_ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """64-bit simhash over k-byte shingles; near-dup = small hamming distance."""
+    """64-bit simhash over k-byte shingles; near-dup = small hamming distance.
+
+    The batch path dedups shingles per document (matching ``simhash``'s
+    ``np.unique``), then counts each bit's votes with 64 segmented
+    ``add.reduceat`` passes over the doc-sorted shingle array — vectorized
+    across the whole batch, no per-document Python loop."""
 
     def __init__(self, k: int = 5, text_col: str = "text"):
         self.k = k
@@ -171,14 +382,32 @@ class SimHasher:
         self.bit_masks = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
     def simhash(self, text: str) -> int:
+        """Per-document reference path; identical output to ``__call__``."""
         sh = _shingle_hashes(text or "", self.k)
         bits = (sh[:, None] & self.bit_masks[None, :]) != 0  # (S, 64)
         votes = bits.sum(axis=0) * 2 - len(sh)               # +1/-1 vote sums
         return int(self.bit_masks[votes > 0].sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = [self.simhash(s) for s in batch[self.text_col].to_pylist()]
-        return batch.append_column("simhash", pa.array(np.array(vals, dtype=np.uint64)))
+        hashes, doc_idx, n = _batch_shingle_hashes(batch[self.text_col], self.k)
+        # per-doc unique shingles: sort by (doc, hash), drop consecutive dups
+        order = np.lexsort((hashes, doc_idx))
+        h, d = hashes[order], doc_idx[order]
+        keep = np.ones(len(h), dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        h, d = h[keep], d[keep]
+        counts = np.bincount(d, minlength=n).astype(np.int64)   # unique/doc
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]]) if len(d) else \
+            np.empty(0, np.int64)
+        present = d[starts] if len(d) else np.empty(0, np.int64)
+        out = np.zeros(n, dtype=np.uint64)
+        for b in range(64):  # 64 vectorized passes, not N-doc loops
+            bit = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            votes = np.add.reduceat(bit, starts) if len(starts) else \
+                np.empty(0, np.int64)
+            hi = 2 * votes > counts[present]
+            out[present[hi]] |= self.bit_masks[b]
+        return batch.append_column("simhash", pa.array(out))
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -17,11 +17,15 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-NUM_BUCKETS = 32
+from .partitioning import derived_num_buckets
 
 
 def add_user_bucket(t: pa.Table, key: str = "user_id",
-                    num_buckets: int = NUM_BUCKETS) -> pa.Table:
+                    num_buckets: int | None = None) -> pa.Table:
+    """Bucket count derives from the cluster width (>= 2 buckets per CPU)
+    unless pinned by the caller — a fixed constant would cap parallelism AND
+    make one map_groups task materialize 1/constant of the dataset at 100 TB."""
+    num_buckets = num_buckets or derived_num_buckets()
     ids = t.column(key).to_numpy(zero_copy_only=False)
     return t.append_column(
         "__bucket", pa.array((pd.util.hash_array(ids) % num_buckets).astype(np.int32)))

@@ -9,7 +9,8 @@ import pyarrow.compute as pc
 from oregonwaterdataportal_etl_ray.functions.kernels import deterministic_id, md5_hex, sha256_hex
 from oregonwaterdataportal_etl_ray.stages.ann import BruteForceTopK, HyperplaneLSH, _matrix, final_topk
 from oregonwaterdataportal_etl_ray.stages.dedup import (
-    BandExploder, MinHasher, SimHasher, bucket_pairs, exact_ngram_jaccard, hamming64)
+    BandExploder, MinHasher, SimHasher, bucket_pairs, exact_ngram_jaccard, hamming64,
+    pairs_in_partition, simhash_pairs_in_partition)
 from oregonwaterdataportal_etl_ray.stages.kernels import keep_first_by, keep_last_by
 from oregonwaterdataportal_etl_ray.stages.multimodal import FakeDecoder, FrameSampler, PayloadStats
 from oregonwaterdataportal_etl_ray.stages.text import LangId, QualityScore, token_count
@@ -96,6 +97,83 @@ def test_simhash_hamming():
     d_ab = hamming64(np.array([a], dtype=np.uint64), np.array([b], dtype=np.uint64))[0]
     d_ac = hamming64(np.array([a], dtype=np.uint64), np.array([c], dtype=np.uint64))[0]
     assert d_ab < d_ac
+
+
+def test_batch_hashers_match_per_doc_reference():
+    """The vectorized batch kernels must produce byte-identical signatures
+    to the per-document reference paths (``signature`` / ``simhash``) for
+    every edge: empty, shorter-than-k, unicode, long."""
+    texts = ["", "ab", "abcd", "hello world this is a longer text " * 3,
+             "unicode ümlaut and 中文", "x" * 5,
+             "the quick brown fox " * 50]
+    t = pa.table({"text": pa.array(texts)})
+    mh = MinHasher(num_perm=64, k=5)
+    got = mh(t)["minhash"].to_pylist()
+    for i, s in enumerate(texts):
+        assert got[i] == mh.signature(s).tolist(), i
+    sh = SimHasher(k=5)
+    got_sh = sh(t)["simhash"].to_pylist()
+    for i, s in enumerate(texts):
+        assert got_sh[i] == sh.simhash(s), i
+    # nulls hash like empty strings
+    tn = pa.table({"text": pa.array(["abc def ghi", None])})
+    assert mh(tn)["minhash"].to_pylist()[1] == mh.signature("").tolist()
+    assert sh(tn)["simhash"].to_pylist()[1] == sh.simhash("")
+
+
+def test_pairs_in_partition_matches_per_bucket_reference():
+    """The partition-level vectorized pair-gen must emit exactly the pairs
+    the per-bucket reference kernel emits, bucket by bucket."""
+    rng = np.random.default_rng(5)
+    n = 400
+    t = pa.table({
+        "doc_id": pa.array(rng.integers(0, 120, n), pa.int64()),
+        "band_id": pa.array(rng.integers(0, 4, n), pa.int32()),
+        "band_hash": pa.array(rng.integers(0, 25, n).astype(np.uint64), pa.uint64()),
+    })
+    got = pairs_in_partition(t, max_bucket=10).to_pandas()
+    got_set = set(zip(got["id_a"], got["id_b"]))
+    want = set()
+    df = t.to_pandas()
+    for (_, _), g in df.groupby(["band_id", "band_hash"]):
+        sub = pa.Table.from_pandas(g)
+        p = bucket_pairs(sub, max_bucket=10).to_pandas()
+        want |= set(zip(p["id_a"], p["id_b"]))
+    assert got_set == want
+
+
+def test_simhash_pairs_in_partition_planted():
+    """Within one partition: identical fingerprints in the same bucket pair
+    up with hamming 0; oversized buckets (>max) are skipped."""
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 10, 11], pa.int64()),
+        "band_id": pa.array([0, 0, 0, 1, 1], pa.int32()),
+        "band_key": pa.array(np.array([7, 7, 9, 4, 4], dtype=np.uint64)),
+        "simhash": pa.array(np.array([100, 100, 999, 100, 0xFFFF000000000064],
+                                     dtype=np.uint64)),
+    })
+    got = simhash_pairs_in_partition(t, max_bucket=50, max_hamming=8).to_pandas()
+    pairs = set(zip(got["id_a"], got["id_b"], got["hamming"]))
+    assert (1, 2, 0) in pairs          # same bucket, identical fingerprint
+    assert not any(a == 10 for a, _, _ in pairs)  # hamming 16 > 8 filtered
+    # oversized bucket skipped entirely
+    big = pa.table({
+        "doc_id": pa.array(range(60), pa.int64()),
+        "band_id": pa.array([0] * 60, pa.int32()),
+        "band_key": pa.array(np.full(60, 5, dtype=np.uint64)),
+        "simhash": pa.array(np.full(60, 42, dtype=np.uint64)),
+    })
+    assert simhash_pairs_in_partition(big, max_bucket=50).num_rows == 0
+
+
+def test_derived_buckets_scale_with_cluster():
+    from oregonwaterdataportal_etl_ray.stages.partitioning import (
+        derived_join_partitions, derived_num_buckets)
+    b8, b1024 = derived_num_buckets(cpus=8), derived_num_buckets(cpus=1024)
+    assert b1024 > b8          # grows with the cluster
+    assert b8 & (b8 - 1) == 0 and b1024 & (b1024 - 1) == 0  # pow2 (bit-mask keys)
+    assert derived_num_buckets(cpus=1) >= 32                # floor
+    assert derived_join_partitions(cpus=256) > derived_join_partitions(cpus=8)
 
 
 # ---- ann
