@@ -163,6 +163,17 @@ class _ReadBucket:
         self.with_sha = with_sha
         self.schema = CdcEngine.load_schema(state_dir)
 
+    def _empty(self) -> pa.Table:
+        """Typed empty table carrying the known output schema — a 0-column
+        block would give downstream blocks an inconsistent schema (Ray's
+        'RefBundle with a different schema' warning)."""
+        fields = [f for f in (self.schema or pa.schema([]))
+                  if f.name not in ("__key", "bucket")]
+        fields.append(pa.field("lsn", pa.int64()))
+        if self.with_sha:
+            fields.append(pa.field("sha256", pa.string()))
+        return pa.schema(fields).empty_table()
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for b in batch.column("bucket").to_pylist():
@@ -179,7 +190,7 @@ class _ReadBucket:
                 t = t.append_column("sha256", sha256_hex(t["content"]))
             out.append(t.drop_columns(["__key", "bucket"]))
         if not out:
-            return pa.table({})  # empty — Ray drops empty blocks
+            return self._empty()
         return pa.concat_tables(out, promote_options="permissive")
 
 

