@@ -54,7 +54,11 @@ BATTERY = [
     "event_lag",
     "sessionize",
     "token_explode",
+    "multi_format_dates",
+    "workbook_split",
+    "order_lineitem_nest",
     "embedding_near_dup",
+    "embedding_near_dup_lsh",
     "ann_ivf",
     "partitioned_write",
     "token_counts",

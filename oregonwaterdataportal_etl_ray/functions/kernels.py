@@ -47,6 +47,49 @@ def iso_utc(ts_col: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pc.strftime(ts_col, format="%Y-%m-%dT%H:%M:%SZ")
 
 
+#: The reference's bespoke upstream date formats, in try-order
+#: (userCode/wrd/lib.py:131-149 tries "%m-%d-%Y %H:%M" then "%m-%d-%Y";
+#:  userCode/util.py:74-82 parses "%m/%d/%Y %I:%M:%S %p").
+REFERENCE_DATE_FORMATS = ("%m-%d-%Y %H:%M", "%m-%d-%Y", "%m/%d/%Y %I:%M:%S %p")
+
+
+def coalesce_timestamps(col: pa.Array | pa.ChunkedArray,
+                        formats: tuple[str, ...] = REFERENCE_DATE_FORMATS,
+                        assume_tz: str | None = None,
+                        on_unparsed: str = "raise") -> pa.Array:
+    """Vectorized multi-format timestamp normalizer (M11): try each strptime
+    format IN ORDER over the whole column, coalesce first match, optionally
+    interpret the wall time in ``assume_tz`` and convert to UTC — the
+    reference's ``parse_pacific_time_date_and_return_utc`` loop
+    (userCode/wrd/lib.py:131-149) as Arrow kernels, one pass per format
+    instead of one try/except per row.
+
+    ``on_unparsed``: 'raise' (reference behavior — a non-null value matching
+    no format is an error) or 'null'. Returns timestamp(us) — tz-aware UTC
+    when ``assume_tz`` is given, else naive."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = None
+    for fmt in formats:
+        parsed = pc.strptime(col, format=fmt, unit="us", error_is_null=True)
+        out = parsed if out is None else pc.coalesce(out, parsed)
+    if on_unparsed == "raise":
+        bad = pc.and_(pc.is_valid(col), pc.is_null(out))
+        if pc.any(bad).as_py():
+            first = col.filter(bad)[0].as_py()
+            raise ValueError(f"date {first!r} does not match any known formats "
+                             f"{formats}")
+    if assume_tz is not None:
+        # interpret naive wall time in the source tz (storage becomes true
+        # epoch), then relabel to UTC (metadata only — epoch already UTC)
+        out = pc.assume_timezone(out, assume_tz, ambiguous="earliest",
+                                 nonexistent="earliest")
+        out = out.cast(pa.timestamp("us", tz="UTC"))
+    return out
+
+
 def derive_observation_id(parent_id: pa.Array | pa.ChunkedArray,
                           time_str: pa.Array | pa.ChunkedArray,
                           max_digits: int = 18) -> pa.Array:

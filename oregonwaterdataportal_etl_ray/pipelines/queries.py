@@ -150,6 +150,37 @@ def date_normalize(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+@_q("multi_format_dates", """
+SELECT event_id,
+       CASE event_id % 3
+         WHEN 0 THEN strftime(date_trunc('minute', ts), '%Y-%m-%dT%H:%M:%SZ')
+         WHEN 1 THEN strftime(date_trunc('day', ts), '%Y-%m-%dT%H:%M:%SZ')
+         ELSE strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%SZ')
+       END AS ts_iso
+FROM events
+""")
+def multi_format_dates(sf_dir: str):
+    """Multi-format strptime-coalesce normalizer (M11, reference
+    userCode/wrd/lib.py:131-149): each event's timestamp is first rendered in
+    one of the reference's three bespoke upstream formats (deterministically
+    by event_id), then normalized back through the vectorized
+    try-formats-in-order chain to canonical ISO-8601 Z. The oracle computes
+    the equivalent truncation directly."""
+    from ..functions.kernels import REFERENCE_DATE_FORMATS, coalesce_timestamps
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = t["event_id"].to_numpy(zero_copy_only=False) % 3
+        secs = pc.cast(pc.floor_temporal(t["ts"], unit="second"), pa.timestamp("s"))
+        rendered = [pc.strftime(secs, format=f) for f in REFERENCE_DATE_FORMATS]
+        messy = pc.if_else(pa.array(m == 0), rendered[0],
+                           pc.if_else(pa.array(m == 1), rendered[1], rendered[2]))
+        norm = coalesce_timestamps(messy).cast(pa.timestamp("s"))
+        return pa.table({"event_id": t["event_id"],
+                         "ts_iso": pc.strftime(norm, format="%Y-%m-%dT%H:%M:%SZ")})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 # ===========================================================================
 # A: aggregations
 # ===========================================================================
@@ -426,6 +457,63 @@ def semi_join_suppliers(sf_dir: str):
                          fn_constructor_kwargs=dict(keys_ref=keys, col="s_nationkey", keep=True),
                          batch_format="pyarrow", concurrency=_conc())
     return out.select_columns(["s_suppkey", "s_name"])
+
+
+@_q("workbook_split", """
+SELECT event_type AS sheet, count(*) AS n_rows, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY event_type
+""")
+def workbook_split(sf_dir: str):
+    """One-source -> N-datasets parse (S10, reference
+    userCode/xlsx/lib.py:33-56): the tagged event stream (event_type as the
+    'sheet name') fans out into five schema-validated Datasets from ONE
+    materialized read — sheet-count law + column-presence law enforced —
+    then each sheet reports (n_rows, sum_value) for the oracle."""
+    from ..stages.workbook import split_source
+    sheet_names = ["click", "error", "purchase", "signup", "view"]
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = split_source(ds, "event_type",
+                       {s: ["event_id", "value"] for s in sheet_names})
+    rows = []
+    for name in sheet_names:
+        view = out[name]
+        rows.append((name, view.count(), round(view.sum("value"), 4)))
+    return pa.table({"sheet": pa.array([r[0] for r in rows]),
+                     "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+                     "sum_value": pa.array([r[2] for r in rows], pa.float64())})
+
+
+@_q("order_lineitem_nest", """
+SELECT o_orderkey, o_orderdate, CAST(count(*) AS BIGINT) AS n_items,
+       array_to_string(list(l_linenumber ORDER BY l_linenumber), '-') AS items_str
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_orderdate
+""")
+def order_lineitem_nest(sf_dir: str):
+    """Join + grouped nest-to-list-column (the tail of M6/J3, reference
+    userCode/xlsx/helpers.py:79-197 nesting observations under datastreams
+    under things): each order gains a list<struct> of its line items, built
+    vectorized per bucket; the list is then summarized (count + joined
+    string) so the oracle can compare it in SQL."""
+    from ..stages.workbook import nest_children
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+    nested = nest_children(orders, li, "o_orderkey", "l_orderkey",
+                           ["l_linenumber"], order_cols=["l_linenumber"],
+                           list_col="items")
+
+    def summarize(t: pa.Table) -> pa.Table:
+        items = t["items"].combine_chunks()
+        nums = items.flatten().field("l_linenumber")
+        lists = pa.ListArray.from_arrays(items.offsets,
+                                         pc.cast(nums, pa.string()))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderdate": t["o_orderdate"],
+            "n_items": pc.cast(pc.list_value_length(items), pa.int64()),
+            "items_str": pc.binary_join(lists, "-"),
+        })
+    return nested.map_batches(summarize, batch_format="pyarrow")
 
 
 # ===========================================================================

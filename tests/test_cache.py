@@ -1,0 +1,93 @@
+"""Read-through cache fetch stage (T1/S1; reference
+userCode/cache.py:30-85 get_or_fetch semantics: hit, miss+store, TTL expiry,
+force-fetch bypass, refetch-on-corrupt)."""
+
+import time
+
+import pyarrow as pa
+
+from oregonwaterdataportal_etl_ray.stages.cache import CachedFetchStage, TTLCache
+
+
+class CountingFetcher:
+    def __init__(self, corrupt_keys=()):
+        self.calls = []
+        self.corrupt = set(corrupt_keys)
+
+    def __call__(self, keys):
+        self.calls.append(list(keys))
+        return [None if k in self.corrupt else f"payload:{k}".encode()
+                for k in keys]
+
+
+def _batch(keys):
+    return pa.table({"url": pa.array(keys)})
+
+
+def test_cache_hits_and_batched_miss_fetch():
+    f = CountingFetcher()
+    stage = CachedFetchStage(f, key_col="url")
+    out1 = stage(_batch(["a", "b", "a"]))
+    assert out1["cache_hit"].to_pylist() == [False, False, False]
+    assert f.calls == [["a", "b"]]                 # ONE batched, deduped fetch
+    out2 = stage(_batch(["a", "b", "c"]))
+    assert out2["cache_hit"].to_pylist() == [True, True, False]
+    assert f.calls[-1] == ["c"]
+    assert out2["payload"].to_pylist()[0] == b"payload:a"
+
+
+def test_cache_ttl_expiry_refetches():
+    f = CountingFetcher()
+    stage = CachedFetchStage(f, key_col="url", ttl_s=0.05)
+    stage(_batch(["a"]))
+    time.sleep(0.08)
+    out = stage(_batch(["a"]))
+    assert out["cache_hit"].to_pylist() == [False]
+    assert len(f.calls) == 2
+
+
+def test_force_fetch_bypasses_cache():
+    f = CountingFetcher()
+    stage = CachedFetchStage(f, key_col="url", force_fetch=True)
+    stage(_batch(["a"]))
+    stage(_batch(["a"]))
+    assert len(f.calls) == 2
+
+
+def test_corrupt_value_not_cached():
+    f = CountingFetcher(corrupt_keys={"bad"})
+    stage = CachedFetchStage(f, key_col="url")
+    out = stage(_batch(["bad", "ok"]))
+    assert out["payload"].to_pylist() == [None, b"payload:ok"]
+    out2 = stage(_batch(["bad", "ok"]))            # bad refetched, ok cached
+    assert f.calls[-1] == ["bad"]
+    assert out2["cache_hit"].to_pylist() == [False, True]
+
+
+def test_ttl_cache_lru_eviction():
+    c = TTLCache(max_entries=2)
+    c.put("a", 1), c.put("b", 2), c.put("c", 3)
+    assert c.get("a") == (None, False)             # evicted (oldest)
+    assert c.get("c") == (3, True)
+
+
+def test_cached_fetch_in_ray_pipeline(ray_session):
+    """The stage drives as a real actor-pool map_batches stage.
+
+    The fetch fn is defined INSIDE the test: a test-module-level class would
+    be cloudpickled by reference, and Ray workers cannot import the tests
+    package (the actor then dies in __init__ and restarts forever)."""
+    import ray
+
+    def fetch(keys):
+        return [f"payload:{k}".encode() for k in keys]
+
+    ds = ray.data.from_arrow(pa.table({"url": [f"k{i % 5}" for i in range(50)]}))
+    out = ds.map_batches(CachedFetchStage,
+                         fn_constructor_kwargs=dict(
+                             fetch_fn=fetch, key_col="url"),
+                         batch_format="pyarrow", batch_size=10,
+                         concurrency=1).to_pandas()
+    assert len(out) == 50
+    assert out["payload"].notna().all()
+    assert out["cache_hit"].sum() > 0              # later batches hit

@@ -231,11 +231,74 @@ def test_derive_observation_id_goldens():
     assert a.to_pylist() != b.to_pylist()
 
 
+def test_coalesce_timestamps_multi_format_and_tz():
+    """M11: the reference's try-formats-in-order parse + PT->UTC conversion
+    (userCode/wrd/lib.py:131-149), vectorized."""
+    import pyarrow.compute as pc
+    from oregonwaterdataportal_etl_ray.functions.kernels import coalesce_timestamps
+    col = pa.array(["03-15-2024 12:30", "03-15-2024",
+                    "07/04/2023 01:02:03 PM", None])
+    naive = coalesce_timestamps(col)
+    assert pc.strftime(naive.cast(pa.timestamp("s")),
+                       format="%Y-%m-%dT%H:%M:%SZ").to_pylist() == [
+        "2024-03-15T12:30:00Z", "2024-03-15T00:00:00Z",
+        "2023-07-04T13:02:03Z", None]
+    utc = coalesce_timestamps(col, assume_tz="America/Los_Angeles")
+    got = pc.strftime(utc.cast(pa.timestamp("s", tz="UTC")),
+                      format="%Y-%m-%dT%H:%M:%SZ").to_pylist()
+    # March 15 is PDT (UTC-7); July 4 is PDT too
+    assert got[0] == "2024-03-15T19:30:00Z"
+    assert got[2] == "2023-07-04T20:02:03Z"
+    # a winter date is PST (UTC-8)
+    win = coalesce_timestamps(pa.array(["01-15-2024 12:00"]),
+                              assume_tz="America/Los_Angeles")
+    assert pc.strftime(win.cast(pa.timestamp("s", tz="UTC")),
+                       format="%H:%M").to_pylist() == ["20:00"]
+    import pytest
+    with pytest.raises(ValueError, match="known formats"):
+        coalesce_timestamps(pa.array(["not a date"]))
+    assert coalesce_timestamps(pa.array(["not a date"]),
+                               on_unparsed="null").null_count == 1
+
+
 def test_strip_availability_suffix():
     from oregonwaterdataportal_etl_ray.functions.kernels import strip_availability_suffix
     got = strip_availability_suffix(pa.array(
         ["mean_daily_flow_available", "water_temp_avail", "plain", "avail_x"]))
     assert got.to_pylist() == ["mean_daily_flow", "water_temp", "plain", "avail_x"]
+
+
+def test_circle_polygon_is_geojson_and_metrically_sound():
+    """M14 (reference userCode/groundwater/lib.py:4-35 + lib_test.py): the
+    ring is closed GeoJSON [(lon, lat), ...] of num_points+1 vertices, every
+    vertex sits at the requested great-circle distance, and the batch kernel
+    matches the scalar wrapper."""
+    from oregonwaterdataportal_etl_ray.functions.geometry import (
+        CirclePolygon, EARTH_RADIUS_M, FEET_TO_M, generate_circle_polygon)
+    polygon = generate_circle_polygon(
+        center_lat=37.7749, center_lon=-122.4194, radius_feet=1000, num_points=12)
+    assert polygon and len(polygon) == 1            # one ring (GeoJSON polygon)
+    ring = polygon[0]
+    assert len(ring) == 13                          # closed: 12 points + repeat
+    assert ring[0] == ring[-1]
+    for item in ring:
+        assert isinstance(item, tuple) and len(item) == 2
+        assert isinstance(item[0], float) and isinstance(item[1], float)
+    # metric soundness: haversine distance of every vertex == radius (<0.1%)
+    lat1, lon1 = np.radians(37.7749), np.radians(-122.4194)
+    for lon, lat in ring[:-1]:
+        la, lo = np.radians(lat), np.radians(lon)
+        h = (np.sin((la - lat1) / 2) ** 2 +
+             np.cos(lat1) * np.cos(la) * np.sin((lo - lon1) / 2) ** 2)
+        dist = 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(h))
+        assert abs(dist - 1000 * FEET_TO_M) < 0.3, dist
+    # batch kernel == scalar wrapper
+    t = pa.table({"lat": [37.7749, 45.0], "lon": [-122.4194, -120.0],
+                  "radius_feet": [1000.0, 250.0]})
+    out = CirclePolygon()(t)
+    got = out["polygon"][0].as_py()[0]
+    assert [(p[0], p[1]) for p in got] == [list(x) for x in ring] or \
+           [tuple(p) for p in got] == ring
 
 
 def test_bloom_filter_no_false_negatives_and_bounded_fpp():
