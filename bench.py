@@ -173,6 +173,9 @@ def main() -> None:
     ap.add_argument("--levels", type=str, default="2,8",
                     help="scaling pair 'N,4N' (default 2,8; see BASELINE.md)")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--no-pin", action="store_true",
+                    help="skip taskset pinning (the literal driver protocol; "
+                         "see BASELINE.md §3 for why pinning is the default)")
     args = ap.parse_args()
     num_cpus = args.num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", 32))
     sf_dir = os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
@@ -199,7 +202,7 @@ def main() -> None:
         args.events = args.events or SCALING_EVENTS
         ensure_events(args.events)  # generate outside all timed runs
         runs: dict[int, list[dict]] = {lo: [], hi: []}
-        have_taskset = shutil.which("taskset") is not None
+        have_taskset = shutil.which("taskset") is not None and not args.no_pin
         for rep in range(args.repeats):
             for cpus in (hi, lo):
                 cmd = [sys.executable, os.path.abspath(__file__), "--cdc-only",

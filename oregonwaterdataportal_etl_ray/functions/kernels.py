@@ -11,20 +11,40 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 
 
-def _digest_hex(values, algo) -> pa.Array:
-    out = [None if v is None else algo(v.encode()).hexdigest() for v in values]
+def _digest_hex(col: pa.Array | pa.ChunkedArray, algo) -> pa.Array:
+    """Per-row cryptographic digest. No Arrow digest kernel exists, so a
+    Python loop is unavoidable — but it hashes zero-copy memoryview slices
+    of the column's utf-8 data buffer directly (no per-row str
+    materialization / re-encode)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = pc.cast(col, pa.large_binary())
+    n = len(arr)
+    if n == 0:
+        return pa.array([], pa.string())
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset:arr.offset + n + 1]
+    data = memoryview(arr.buffers()[2])
+    if arr.null_count:
+        valid = ~np.asarray(arr.is_null())
+        out = [algo(data[off[i]:off[i + 1]]).hexdigest() if valid[i] else None
+               for i in range(n)]
+    else:
+        out = [algo(data[off[i]:off[i + 1]]).hexdigest() for i in range(n)]
     return pa.array(out, pa.string())
 
 
 def md5_hex(col: pa.Array | pa.ChunkedArray) -> pa.Array:
-    return _digest_hex(col.to_pylist(), hashlib.md5)
+    return _digest_hex(col, hashlib.md5)
 
 
 def sha256_hex(col: pa.Array | pa.ChunkedArray) -> pa.Array:
-    return _digest_hex(col.to_pylist(), hashlib.sha256)
+    return _digest_hex(col, hashlib.sha256)
 
 
 def deterministic_id(col: pa.Array | pa.ChunkedArray, digits: int = 10) -> pa.Array:

@@ -1114,6 +1114,42 @@ def partitioned_write(sf_dir: str):
                             "n_rows": t["n_rows"]}), batch_format="pyarrow")
 
 
+@_q("entity_graph_write", """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       count(*) AS n_events,
+       CAST(0 AS BIGINT) AS n_orphans
+FROM events
+""")
+def entity_graph_write(sf_dir: str):
+    """Deep insert of an entity graph (K5; reference
+    userCode/xlsx/helpers.py:79-197 inserts Things, then Datastreams
+    referencing them, then Observations referencing those): derive the
+    parent table (users) from the stream, write it FIRST, then write the
+    child table with its FK — the ordering law of a deep insert — both as
+    resumable partitioned Parquet. Verification reads both back and counts
+    FK orphans distributed (must be 0)."""
+    import tempfile
+    from ray.data.aggregate import Count
+
+    out = tempfile.mkdtemp(prefix="graft_entity_graph_")
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "value"])
+    users = ev.groupby("user_id").aggregate(Count(alias_name="__n")) \
+              .select_columns(["user_id"])
+    users.write_parquet(f"{out}/users")             # parents FIRST
+    ev.write_parquet(f"{out}/events", partition_cols=["event_type"])
+
+    users_back = ray.data.read_parquet(f"{out}/users")
+    ev_back = ray.data.read_parquet(f"{out}/events")
+    ukeys = np.sort(users_back.to_pandas()["user_id"].to_numpy())  # small side
+    orphans = ev_back.map_batches(
+        MembershipFilter(ukeys, col="user_id", keep=False),
+        batch_format="pyarrow").count()
+    return pa.table({"n_users": pa.array([len(ukeys)], pa.int64()),
+                     "n_events": pa.array([ev_back.count()], pa.int64()),
+                     "n_orphans": pa.array([orphans], pa.int64())})
+
+
 @_q("multimodal_payload_stats", """
 SELECT doc_id, octet_length(encode(text)) AS payload_bytes, md5(text) AS payload_md5
 FROM documents
