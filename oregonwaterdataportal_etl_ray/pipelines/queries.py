@@ -469,18 +469,25 @@ def workbook_split(sf_dir: str):
     'sheet name') fans out into five schema-validated Datasets from ONE
     materialized read — sheet-count law + column-presence law enforced —
     then each sheet reports (n_rows, sum_value) for the oracle."""
+    from ray.data.aggregate import Count, Sum
     from ..stages.workbook import split_source
     sheet_names = ["click", "error", "purchase", "signup", "view"]
     ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
     out = split_source(ds, "event_type",
                        {s: ["event_id", "value"] for s in sheet_names})
-    rows = []
-    for name in sheet_names:
-        view = out[name]
-        rows.append((name, view.count(), round(view.sum("value"), 4)))
-    return pa.table({"sheet": pa.array([r[0] for r in rows]),
-                     "n_rows": pa.array([r[1] for r in rows], pa.int64()),
-                     "sum_value": pa.array([r[2] for r in rows], pa.float64())})
+    # the split (S10) produced the five validated views; the oracle summary
+    # is ONE aggregate pass over their re-tagged union — not 2 passes/sheet
+    tagged = [out[s].map_batches(
+        lambda t, name=s: t.append_column("sheet", pa.array([name] * t.num_rows)),
+        batch_format="pyarrow") for s in sheet_names]
+    u = tagged[0].union(*tagged[1:])
+    res = (u.groupby("sheet")
+            .aggregate(Count(alias_name="n_rows"), Sum("value", alias_name="sum_value"))
+            .to_pandas().sort_values("sheet").reset_index(drop=True))
+    res["sum_value"] = res["sum_value"].round(4)
+    return pa.table({"sheet": pa.array(res["sheet"], pa.string()),
+                     "n_rows": pa.array(res["n_rows"], pa.int64()),
+                     "sum_value": pa.array(res["sum_value"], pa.float64())})
 
 
 @_q("order_lineitem_nest", """
@@ -736,6 +743,30 @@ def doc_fingerprint(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(lambda t: normalized_fingerprint(t).select(["doc_id", "fingerprint"]),
                           batch_format="pyarrow")
+
+
+@_q("redact_numbers", """
+SELECT doc_id,
+       regexp_replace(text, '[0-9]+(\\.[0-9]+)?', '<NUM>', 'g') AS redacted,
+       len(regexp_extract_all(text, '[0-9]+(\\.[0-9]+)?')) AS n_redacted
+FROM documents
+""")
+def redact_numbers(sf_dir: str):
+    """Vectorized pattern redaction (training-data scrub family): numeric
+    literals replaced by a sentinel token, with a per-doc redaction count —
+    one compiled-regex Arrow kernel pass, no Python row loop. The same shape
+    handles PII patterns (emails, phones) in a real pipeline."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pat = r"[0-9]+(\.[0-9]+)?"
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "redacted": pc.replace_substring_regex(t["text"], pat, "<NUM>"),
+            "n_redacted": pc.cast(pc.count_substring_regex(t["text"], pat),
+                                  pa.int64()),
+        })
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 @_q("lang_doc_stats", """
