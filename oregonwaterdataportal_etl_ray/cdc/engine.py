@@ -552,6 +552,83 @@ class CdcEngine:
         return max(0, min(m.last_applied_lsn for m in manifests.values())
                    - disorder_bound)
 
+    def reshard(self, new_state_dir: str, new_num_buckets: int) -> "CdcEngine":
+        """Re-partition committed LSM state to a new bucket count (cluster
+        resize: 4x the nodes wants ~4x the buckets). Distributed: a task
+        pool merge-reads each OLD bucket (tombstones retained — they must
+        keep blocking late stale upserts after the move), re-hashes rows to
+        the new bucket space, and one task per NEW bucket writes its base
+        file + manifest. Epoch lineage (``epochs.json``) is copied verbatim,
+        so file-set resume semantics carry over unchanged; new manifests
+        commit at the max source epoch so resumed epoch numbers allocate
+        past every applied one. Per-new-bucket ``last_applied_lsn`` is the
+        max LSN present in the bucket — a conservative (never larger)
+        restatement of the old watermarks, so tombstone-GC safety is
+        preserved. Idempotent: a re-run skips new buckets whose manifest
+        already reached the target epoch.
+        """
+        manifests = load_all_manifests(self.state_dir)
+        target_epoch = max((m.epoch for m in manifests.values()), default=0)
+        schema = self.load_schema(self.state_dir)
+        new_eng = CdcEngine(new_state_dir, num_buckets=new_num_buckets,
+                            evolution=self.evolution,
+                            compact_every=self.compact_every)
+        if schema is not None:
+            new_eng.save_schema(schema)
+        atomic_write_bytes(new_eng._epochs_path(),
+                           json.dumps(self.committed_epochs(),
+                                      sort_keys=True).encode())
+        if not manifests:
+            return new_eng
+
+        src_dir, dst_dir = self.state_dir, new_state_dir
+        from .merge import bucket_of_keys
+
+        def rebucket(batch: pa.Table) -> pa.Table:
+            out = []
+            for b in batch.column("bucket").to_pylist():
+                m = load_manifest(src_dir, int(b))
+                if m is None:
+                    continue
+                parts = ([_read_rel(src_dir, m.base_file)] if m.base_file else []) + \
+                        [_read_rel(src_dir, r) for r in m.runs]
+                merged = merge_sorted_runs(parts)
+                if merged is None:
+                    continue
+                nb = pa.array(bucket_of_keys(merged["__key"], new_num_buckets),
+                              pa.int32())
+                merged = merged.set_column(
+                    merged.schema.get_field_index("bucket"), "bucket", nb)
+                out.append(merged)
+            if not out:
+                return pa.table({"bucket": pa.array([], pa.int32())})
+            return pa.concat_tables(out, promote_options="permissive")
+
+        def write_new_bucket(group: pa.Table) -> pa.Table:
+            bucket = int(group.column("bucket")[0].as_py())
+            m = load_manifest(dst_dir, bucket)
+            if m is not None and m.epoch >= target_epoch:
+                return pa.table({"bucket": pa.array([bucket], pa.int32())})
+            t = group.sort_by([("__key", "ascending")])
+            rel = f"data/bucket={bucket:05d}/base-{target_epoch:05d}.parquet"
+            atomic_write_table(os.path.join(dst_dir, rel), t)
+            write_manifest(dst_dir, BucketManifest(
+                bucket=bucket, epoch=target_epoch,
+                last_applied_lsn=int(pc.max(t.column("lsn")).as_py()),
+                row_count=t.num_rows - t.column("content").null_count,
+                base_file=rel, runs=[],
+                stats={"upserts": 0, "deletes": 0, "skipped_stale": 0,
+                       "resharded_from": self.num_buckets}))
+            return pa.table({"bucket": pa.array([bucket], pa.int32())})
+
+        items = [{"bucket": b} for b in sorted(manifests)]
+        (ray.data.from_items(items)
+            .map_batches(rebucket, batch_format="pyarrow", batch_size=2)
+            .groupby("bucket")
+            .map_groups(write_new_bucket, batch_format="pyarrow")
+            .count())
+        return new_eng
+
     # ---- reads ---------------------------------------------------------
     def final_dataset(self, with_sha: bool = True) -> "ray.data.Dataset":
         """Distributed merge-on-read of the committed table (streams per bucket)."""

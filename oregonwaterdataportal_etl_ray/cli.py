@@ -13,6 +13,8 @@ Subcommands:
   compact  fold outstanding LSM delta runs into each bucket's base file
            (makes manifest row counts exact).
   lineage  print per-bucket checkpoint lineage (last LSN, row counts, stats).
+  reshard  re-partition committed state to a new bucket count (cluster
+           resize); epoch lineage and file-set resume carry over.
 
 Owns the Ray session only when standalone (guarded init, per driver contract).
 """
@@ -86,6 +88,15 @@ def main(argv: list[str] | None = None) -> int:
     lp.add_argument("--compact-every", type=int, default=4)
     lp.add_argument("--rename", action="append", metavar="OLD=NEW")
 
+    sp = sub.add_parser("reshard", help="re-partition state to a new bucket "
+                        "count (cluster resize); lineage and resume carry over")
+    sp.add_argument("--state-dir", required=True)
+    sp.add_argument("--new-state-dir", required=True)
+    sp.add_argument("--new-num-buckets", type=int, required=True)
+    sp.add_argument("--num-buckets", type=int, default=64)
+    sp.add_argument("--compact-every", type=int, default=4)
+    sp.add_argument("--rename", action="append", metavar="OLD=NEW")
+
     args = ap.parse_args(argv)
     _init()
     eng = _engine(args)
@@ -109,6 +120,11 @@ def main(argv: list[str] | None = None) -> int:
                           "upserts": res.n_upserts, "deletes": res.n_deletes}))
     elif args.cmd == "compact":
         print(json.dumps({"buckets_compacted": eng.compact()}))
+    elif args.cmd == "reshard":
+        new_eng = eng.reshard(args.new_state_dir, args.new_num_buckets)
+        print(json.dumps({"new_state_dir": args.new_state_dir,
+                          "new_num_buckets": args.new_num_buckets,
+                          "buckets_written": len(new_eng.lineage())}))
     elif args.cmd == "export":
         ds = eng.final_dataset(with_sha=not args.no_sha)
         ds.write_parquet(args.out)

@@ -193,6 +193,35 @@ def test_crash_between_manifest_and_lineage_loses_nothing(corpus, tmp_path):
     _assert_matches_oracle(resumed, files[:4])
 
 
+def test_reshard_preserves_state_and_resumes(corpus, tmp_path):
+    """Cluster-resize path: state resharded 8 -> 16 buckets must read back
+    byte-identically, keep blocking late stale upserts (tombstones move
+    with their keys), and continue ingesting new epochs with file-set
+    resume intact."""
+    files = sorted(corpus["files"])
+    old_state, new_state = str(tmp_path / "old"), str(tmp_path / "new")
+    eng = CdcEngine(old_state, num_buckets=8, compact_every=2)
+    eng.replay(files[:4], epoch_size=1)
+
+    new_eng = eng.reshard(new_state, new_num_buckets=16)
+    assert new_eng.num_buckets == 16
+    assert len(new_eng.lineage()) > 8          # keys actually spread out
+    a = _assert_matches_oracle(new_eng, files[:4])
+    b = _assert_matches_oracle(eng, files[:4])
+    assert list(a["sha256"]) == list(b["sha256"])
+
+    # reshard is idempotent (re-run skips committed new buckets)
+    eng.reshard(new_state, new_num_buckets=16)
+    _assert_matches_oracle(new_eng, files[:4])
+
+    # resumed ingest on the resharded state: already-applied files skipped,
+    # the remaining files applied, result matches the full oracle
+    res = new_eng.replay(files, epoch_size=2)
+    assert all(f in {x for r in new_eng.committed_epochs() for x in r["files"]}
+               for f in files)
+    _assert_matches_oracle(new_eng, files)
+
+
 def test_late_file_sorting_before_applied_is_still_ingested(corpus, tmp_path):
     """Regression: resume is file-set based, so a batch file whose name sorts
     BEFORE an already-applied file is still applied (a positional resume
