@@ -745,6 +745,33 @@ def doc_fingerprint(sf_dir: str):
                           batch_format="pyarrow")
 
 
+@_q("winnow_fingerprints")
+def winnow_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (rolling k-gram hashes + sliding
+    window minima, Schleimer et al. SIGMOD 2003) — local fingerprints for
+    plagiarism/overlap detection, one vectorized pass per batch. Rows-only
+    (the rolling hash is not SQL-expressible); vectorized-vs-reference
+    parity and overlap-detection guarantees are pinned in tests."""
+    from ..stages.text import RollingFingerprints
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(RollingFingerprints(k=8, window=4),
+                         batch_format="pyarrow")
+
+    def summarize(t: pa.Table) -> pa.Table:
+        fps = t["fingerprints"]
+        if isinstance(fps, pa.ChunkedArray):
+            fps = fps.combine_chunks()
+        n_fp = pc.cast(pc.list_value_length(fps), pa.int64())
+        # min fingerprint = element 0 (lists are sorted); null for empty
+        # lists (docs shorter than k) — list_slice keeps those valid-empty
+        sl = pc.list_slice(fps, 0, 1)
+        lens = pc.list_value_length(sl).to_numpy(zero_copy_only=False)
+        flat = iter(pc.cast(pc.list_flatten(sl), pa.string()).to_pylist())
+        first = pa.array([next(flat) if n else None for n in lens], pa.string())
+        return pa.table({"doc_id": t["doc_id"], "n_fp": n_fp, "fp_min": first})
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 @_q("redact_numbers", """
 SELECT doc_id,
        regexp_replace(text, '[0-9]+(\\.[0-9]+)?', '<NUM>', 'g') AS redacted,

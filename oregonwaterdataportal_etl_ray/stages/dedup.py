@@ -56,12 +56,17 @@ def _within(counts: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
 
 
-def _batch_shingle_hashes(col, k: int) -> tuple[np.ndarray, np.ndarray, int]:
-    """Rolling k-byte shingle hashes for EVERY document of a column in one
+def _batch_rolling_hashes(col, k: int, base: np.uint64,
+                          pad_short: bool = True) -> tuple[np.ndarray, np.ndarray, int]:
+    """Rolling k-byte hashes for EVERY document of a column in one
     vectorized pass: concatenate all texts' utf-8 bytes, run the k rolling
-    passes once over the whole buffer, keep only positions whose shingle
-    stays inside its own document. Returns (hashes, doc_index, n_docs) —
-    hashes may contain per-doc duplicates (caller dedups if it must).
+    passes once over the whole buffer, keep only positions whose window
+    stays inside its own document. Within a document, positions appear in
+    byte order. Returns (hashes, doc_index, n_docs) — hashes may contain
+    per-doc duplicates (caller dedups if it must).
+
+    ``pad_short``: documents shorter than k contribute one zero-padded
+    k-byte hash (minhash/simhash semantics) or nothing (winnowing).
 
     This replaces the round-1 per-document Python loop (the single most
     expensive stage in the bench battery at 18 s / sf0.1)."""
@@ -86,14 +91,14 @@ def _batch_shingle_hashes(col, k: int) -> tuple[np.ndarray, np.ndarray, int]:
     if L >= k:
         acc = np.zeros(L - k + 1, dtype=np.uint64)
         for i in range(k):
-            acc = acc * _BASE + data[i:L - k + 1 + i].astype(np.uint64)
+            acc = acc * base + data[i:L - k + 1 + i].astype(np.uint64)
         hashes = acc[pos]
     else:
         hashes = np.empty(0, np.uint64)
 
-    # short docs (len < k): one zero-padded k-byte shingle each
+    # short docs (len < k): one zero-padded k-byte hash each (optional)
     sidx = np.flatnonzero(lens < k)
-    if len(sidx):
+    if pad_short and len(sidx):
         slens = lens[sidx]
         pad = np.zeros((len(sidx), k), dtype=np.uint8)
         w = _within(slens)
@@ -101,10 +106,14 @@ def _batch_shingle_hashes(col, k: int) -> tuple[np.ndarray, np.ndarray, int]:
             data[np.repeat(starts[:-1][sidx], slens) + w]
         sacc = np.zeros(len(sidx), dtype=np.uint64)
         for i in range(k):
-            sacc = sacc * _BASE + pad[:, i].astype(np.uint64)
+            sacc = sacc * base + pad[:, i].astype(np.uint64)
         hashes = np.concatenate([hashes, sacc])
         doc_idx = np.concatenate([doc_idx, sidx.astype(np.int64)])
     return hashes, doc_idx, n
+
+
+def _batch_shingle_hashes(col, k: int) -> tuple[np.ndarray, np.ndarray, int]:
+    return _batch_rolling_hashes(col, k, _BASE, pad_short=True)
 
 
 class MinHasher:

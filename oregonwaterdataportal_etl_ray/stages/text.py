@@ -121,8 +121,13 @@ class LangId:
 # ---------------------------------------------------------------------------
 
 class RollingFingerprints:
-    """k-gram rolling hashes + window minima (winnowing). Emits one row per
-    document with a list<uint64> fingerprint column."""
+    """k-gram rolling hashes + window minima (winnowing, Schleimer/Wilkerson/
+    Aiken SIGMOD 2003). Emits one row per document with a sorted-unique
+    list<uint64> fingerprint column. The batch path runs ONE rolling-hash
+    pass over the batch's concatenated bytes and one sliding-window min with
+    document-boundary masking — no per-document Python loop."""
+
+    _BASE = np.uint64(1000003)
 
     def __init__(self, k: int = 8, window: int = 4, text_col: str = "text"):
         self.k = k
@@ -130,17 +135,14 @@ class RollingFingerprints:
         self.text_col = text_col
 
     def _fingerprint(self, s: str) -> list[int]:
+        """Per-document reference path (tests); identical to ``__call__``."""
         k, w = self.k, self.window
-        if len(s) < k:
-            return []
         b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
         if len(b) < k:
             return []
-        base = np.uint64(1000003)
-        h = np.zeros(len(b) - k + 1, dtype=np.uint64)
         acc = np.zeros(len(b) - k + 1, dtype=np.uint64)
         for i in range(k):  # k is small (8): k vectorized passes, not a row loop
-            acc = acc * base + b[i:len(b) - k + 1 + i].astype(np.uint64)
+            acc = acc * self._BASE + b[i:len(b) - k + 1 + i].astype(np.uint64)
         h = acc
         if len(h) <= w:
             return [int(h.min())]
@@ -148,5 +150,43 @@ class RollingFingerprints:
         return np.unique(mins).tolist()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fps = [self._fingerprint(s or "") for s in batch[self.text_col].to_pylist()]
-        return batch.append_column("fingerprints", pa.array(fps, pa.list_(pa.uint64())))
+        from .dedup import _batch_rolling_hashes, _within
+
+        col = batch[self.text_col]
+        # pad_short=False: winnowing emits NOTHING for docs shorter than k
+        hashes, doc_idx, n = _batch_rolling_hashes(col, self.k, self._BASE,
+                                                   pad_short=False)
+        w = self.window
+        out_vals: np.ndarray
+        out_docs: np.ndarray
+        if len(hashes) == 0:
+            out_vals = np.empty(0, np.uint64)
+            out_docs = np.empty(0, np.int64)
+        else:
+            counts = np.bincount(doc_idx, minlength=n)
+            if len(hashes) >= w:
+                sw = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
+                valid = doc_idx[:len(sw)] == doc_idx[w - 1:]
+                out_vals, out_docs = sw[valid], doc_idx[:len(sw)][valid]
+            else:
+                out_vals = np.empty(0, np.uint64)
+                out_docs = np.empty(0, np.int64)
+            # docs with 1..w positions contribute their global min instead
+            small = (counts > 0) & (counts <= w)
+            if small.any():
+                mins = np.full(n, np.uint64(0xFFFFFFFFFFFFFFFF))
+                np.minimum.at(mins, doc_idx, hashes)
+                out_vals = np.concatenate([out_vals, mins[small]])
+                out_docs = np.concatenate([out_docs, np.flatnonzero(small)])
+        # sorted-unique per doc
+        order = np.lexsort((out_vals, out_docs))
+        v, d = out_vals[order], out_docs[order]
+        keep = np.ones(len(v), dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+        v, d = v[keep], d[keep]
+        per_doc = np.bincount(d, minlength=n) if len(d) else np.zeros(n, np.int64)
+        offsets = np.concatenate(([0], np.cumsum(per_doc))).astype(np.int64)
+        arr = pa.LargeListArray.from_arrays(pa.array(offsets),
+                                            pa.array(v, pa.uint64()))
+        return batch.append_column("fingerprints",
+                                   arr.cast(pa.list_(pa.uint64())))

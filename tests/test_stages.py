@@ -268,6 +268,26 @@ def test_strip_availability_suffix():
     assert got.to_pylist() == ["mean_daily_flow", "water_temp", "plain", "avail_x"]
 
 
+def test_winnow_fingerprints_batch_matches_reference_and_detects_overlap():
+    """Winnowing: vectorized batch kernel == per-doc reference on every
+    edge; docs sharing a long substring share fingerprints (the winnowing
+    guarantee), unrelated docs share ~none."""
+    from oregonwaterdataportal_etl_ray.stages.text import RollingFingerprints
+    rf = RollingFingerprints(k=8, window=4)
+    shared = "a long shared passage of text that overlaps between documents"
+    texts = ["", "short", "x" * 7, "x" * 8,
+             "prefix one " + shared + " suffix alpha",
+             "different lead-in " + shared + " other tail",
+             "completely unrelated content about volcanoes and glaciers"]
+    t = pa.table({"text": pa.array(texts)})
+    got = rf(t)["fingerprints"].to_pylist()
+    for i, s in enumerate(texts):
+        assert got[i] == rf._fingerprint(s), i
+    a, b, c = set(got[4]), set(got[5]), set(got[6])
+    assert len(a & b) >= 3              # shared passage -> shared prints
+    assert not (a & c)                  # unrelated -> disjoint
+
+
 def test_circle_polygon_is_geojson_and_metrically_sound():
     """M14 (reference userCode/groundwater/lib.py:4-35 + lib_test.py): the
     ring is closed GeoJSON [(lon, lat), ...] of num_points+1 vertices, every
