@@ -63,6 +63,11 @@ BATTERY = [
     "partitioned_write",
     "token_counts",
     "doc_fingerprint",
+    "redact_numbers",
+    "winnow_fingerprints",
+    "sample_by_content_hash",
+    "pack_documents",
+    "entity_graph_write",
     "quality_scores",
     "langid_pred",
     "minhash_near_dup",

@@ -745,6 +745,71 @@ def doc_fingerprint(sf_dir: str):
                           batch_format="pyarrow")
 
 
+@_q("sample_by_content_hash", """
+SELECT doc_id FROM documents WHERE substr(md5(text), 1, 2) < '40'
+""")
+def sample_by_content_hash(sf_dir: str):
+    """Deterministic content-hash sampling (training-data op): keep a doc
+    iff its content digest's first byte < 0x40 — a reproducible ~25% sample
+    that is stable across runs, partitionings, and cluster sizes, unlike
+    random_sample. Lowercase hex compares lexicographically, so the filter
+    is one vectorized string compare per batch."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        prefix = pc.utf8_slice_codeunits(md5_hex(t["text"]), 0, 2)
+        return t.filter(pc.less(prefix, "40")).select(["doc_id"])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@_q("pack_documents")
+def pack_documents(sf_dir: str):
+    """Sequence packing (LLM-prep op): greedily pack documents into bins of
+    <= 2048 whitespace tokens WITHIN each hash bucket (the partitioning
+    assumption: a bin never spans buckets, so packing parallelizes as one
+    vectorized-count + greedy pass per bucket with no cross-task state).
+    Deterministic: bucket = hash(doc_id), docs packed in doc_id order.
+    Returns one row per bin: (bucket, bin_id, n_docs, total_tokens).
+    Rows-only; the budget/coverage invariants are pinned in pytest."""
+    from ..stages.text import token_count
+    budget = 2048
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    counted = ds.map_batches(
+        lambda t: token_count(t).drop_columns(["text"]), batch_format="pyarrow")
+    nb = derived_num_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("__bucket", pa.array(
+            (pd.util.hash_array(ids) % nb).astype(np.int32)))
+
+    def pack_group(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("doc_id", "ascending")])
+        toks = g["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = int(g["__bucket"][0].as_py())
+        csum = np.concatenate(([0], np.cumsum(toks)))
+        # greedy packing is sequential per bucket, but only per BIN, not per
+        # doc: each bin boundary is one searchsorted into the token cumsum
+        # (a single over-budget doc still gets its own bin)
+        cuts = [0]
+        while cuts[-1] < len(toks):
+            s = cuts[-1]
+            e = int(np.searchsorted(csum, csum[s] + budget, side="right")) - 1
+            cuts.append(max(e, s + 1))
+        cuts_arr = np.array(cuts)
+        n_bins = len(cuts) - 1
+        return pa.table({
+            "bucket": pa.array(np.full(n_bins, bucket, np.int32)),
+            "bin_id": pa.array(np.arange(n_bins, dtype=np.int64)),
+            "n_docs": pa.array(np.diff(cuts_arr)),
+            "total_tokens": pa.array(csum[cuts_arr[1:]] - csum[cuts_arr[:-1]]),
+        })
+
+    return (counted.map_batches(add_bucket, batch_format="pyarrow")
+                   .groupby("__bucket")
+                   .map_groups(pack_group, batch_format="pyarrow"))
+
+
 @_q("winnow_fingerprints")
 def winnow_fingerprints(sf_dir: str):
     """Winnowing document fingerprints (rolling k-gram hashes + sliding

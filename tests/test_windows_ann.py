@@ -67,6 +67,23 @@ def test_embedding_near_dup_matches_numpy(ray_session):
     assert got_pairs == want_pairs
 
 
+def test_pack_documents_invariants(ray_session):
+    """Sequence packing: every doc lands in exactly one bin, no multi-doc
+    bin exceeds the 2048-token budget, bins are deterministic across runs."""
+    from oregonwaterdataportal_etl_ray.pipelines.queries import QUERIES
+    got = QUERIES["pack_documents"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    n_tokens_total = sum(len(t.split()) for t in docs["text"])
+    assert got["n_docs"].sum() == len(docs)               # full coverage
+    assert got["total_tokens"].sum() == n_tokens_total    # nothing lost
+    multi = got[got["n_docs"] > 1]
+    assert (multi["total_tokens"] <= 2048).all()          # budget respected
+    again = QUERIES["pack_documents"](SF).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values(["bucket", "bin_id"]).reset_index(drop=True),
+        again.sort_values(["bucket", "bin_id"]).reset_index(drop=True))
+
+
 def test_embedding_near_dup_lsh_recall(ray_session, tmp_path):
     """The banded-LSH scale path must recover >= 0.9 of the true cosine>=0.85
     pairs on a corpus with planted near-dups, with perfect precision (the
