@@ -39,6 +39,14 @@ def _in_ray_worker() -> bool:
     try:
         return ray._private.worker.global_worker.mode == ray.WORKER_MODE
     except Exception:
+        # the probe uses a private Ray attribute; if a Ray upgrade moves it,
+        # surface the fact instead of silently losing the worker thread cap
+        # (a measured -60% replay regression when Arrow oversubscribes)
+        import warnings
+
+        warnings.warn("oregonwaterdataportal_etl_ray: Ray worker-mode probe failed; "
+                      "Arrow thread caps NOT applied (check Ray version "
+                      "compatibility of ray._private.worker)", RuntimeWarning)
         return False
 
 

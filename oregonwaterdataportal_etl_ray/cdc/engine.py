@@ -357,10 +357,16 @@ class CdcEngine:
         # discard the new group's never-applied rows as stale. Allocate from
         # past the highest bucket-manifest epoch instead — re-applying the
         # crashed epoch's own files at a higher number is LWW-idempotent.
-        max_bucket_epoch = max(
-            (m.epoch for m in load_all_manifests(self.state_dir).values()),
-            default=-1)
-        start = max(len(done), max_bucket_epoch + 1)
+        # The manifest scan is O(num_buckets) driver file reads, so only pay
+        # it when there is actually something to apply (tail() calls replay
+        # once per poll, usually with nothing pending).
+        if groups:
+            max_bucket_epoch = max(
+                (m.epoch for m in load_all_manifests(self.state_dir).values()),
+                default=-1)
+            start = max(len(done), max_bucket_epoch + 1)
+        else:
+            start = len(done)
         todo = [(start + j, g) for j, g in enumerate(groups)]
         if todo:
             planned = plan_target_schema([f for _, g in todo for f in g],
@@ -561,14 +567,19 @@ class CdcEngine:
         file + manifest. Epoch lineage (``epochs.json``) is copied verbatim,
         so file-set resume semantics carry over unchanged; new manifests
         commit at the max source epoch so resumed epoch numbers allocate
-        past every applied one. Per-new-bucket ``last_applied_lsn`` is the
-        max LSN present in the bucket — a conservative (never larger)
-        restatement of the old watermarks, so tombstone-GC safety is
-        preserved. Idempotent: a re-run skips new buckets whose manifest
-        already reached the target epoch.
+        past every applied one. Every new bucket's ``last_applied_lsn`` is
+        the GLOBAL MIN of the old buckets' watermarks: a new bucket mixes
+        keys from several old buckets, so any larger value (e.g. the max
+        LSN present) would overstate the watermark for the low-watermark
+        keys and make ``safe_tombstone_gc_lsn`` unsafe after the move —
+        the global min keeps the GC floor exactly where it was. Idempotent:
+        a re-run skips new buckets whose manifest already reached the
+        target epoch.
         """
         manifests = load_all_manifests(self.state_dir)
         target_epoch = max((m.epoch for m in manifests.values()), default=0)
+        global_wm = min((m.last_applied_lsn for m in manifests.values()),
+                        default=0)
         schema = self.load_schema(self.state_dir)
         new_eng = CdcEngine(new_state_dir, num_buckets=new_num_buckets,
                             evolution=self.evolution,
@@ -614,7 +625,7 @@ class CdcEngine:
             atomic_write_table(os.path.join(dst_dir, rel), t)
             write_manifest(dst_dir, BucketManifest(
                 bucket=bucket, epoch=target_epoch,
-                last_applied_lsn=int(pc.max(t.column("lsn")).as_py()),
+                last_applied_lsn=global_wm,
                 row_count=t.num_rows - t.column("content").null_count,
                 base_file=rel, runs=[],
                 stats={"upserts": 0, "deletes": 0, "skipped_stale": 0,

@@ -350,9 +350,9 @@ def rolling_avg(sf_dir: str):
     """Rolling window aggregate (moving average over the last 4 events per
     user): bucketed users -> one vectorized cumsum-difference kernel per
     bucket with per-user boundary handling."""
-    from ..stages.window import add_user_bucket, rolling_avg_group
+    from ..stages.window import rolling_avg_group, user_bucketer
     ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
-    return (ds.map_batches(add_user_bucket, batch_format="pyarrow")
+    return (ds.map_batches(user_bucketer(), batch_format="pyarrow")
               .groupby("__bucket")
               .map_groups(rolling_avg_group, batch_format="pyarrow"))
 
@@ -484,7 +484,10 @@ def workbook_split(sf_dir: str):
     res = (u.groupby("sheet")
             .aggregate(Count(alias_name="n_rows"), Sum("value", alias_name="sum_value"))
             .to_pandas().sort_values("sheet").reset_index(drop=True))
-    res["sum_value"] = res["sum_value"].round(4)
+    # sign-aware round-half-away-from-zero (= SQL ROUND), not pandas'
+    # half-even — same mismatch class fixed in stages/text.py QualityScore
+    v = res["sum_value"].to_numpy()
+    res["sum_value"] = np.sign(v) * np.floor(np.abs(v) * 1e4 + 0.5) / 1e4
     return pa.table({"sheet": pa.array(res["sheet"], pa.string()),
                      "n_rows": pa.array(res["n_rows"], pa.int64()),
                      "sum_value": pa.array(res["sum_value"], pa.float64())})
@@ -584,9 +587,9 @@ def event_lag(sf_dir: str):
     lexsort kernel per bucket (stages/window.py; the reference's
     previous-observation watermark logic generalized,
     userCode/wrd/dag.py:189-197)."""
-    from ..stages.window import add_user_bucket, lag_group
+    from ..stages.window import lag_group, user_bucketer
     ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
-    return (ds.map_batches(add_user_bucket, batch_format="pyarrow")
+    return (ds.map_batches(user_bucketer(), batch_format="pyarrow")
               .groupby("__bucket")
               .map_groups(lag_group, batch_format="pyarrow"))
 
@@ -602,9 +605,9 @@ GROUP BY user_id
 def sessionize(sf_dir: str):
     """Gap-based sessionization (streaming window op): 30-min inactivity gap
     starts a new session; counts per user."""
-    from ..stages.window import add_user_bucket, sessionize_group
+    from ..stages.window import sessionize_group, user_bucketer
     ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
-    out = (ds.map_batches(add_user_bucket, batch_format="pyarrow")
+    out = (ds.map_batches(user_bucketer(), batch_format="pyarrow")
              .groupby("__bucket")
              .map_groups(sessionize_group, batch_format="pyarrow"))
     return out.select_columns(["user_id", "n_events", "n_sessions"])
@@ -624,10 +627,10 @@ def asof_join(sf_dir: str):
     the user's most recent strictly-earlier view value. Hash-bucket users ->
     one vectorized forward-fill per bucket (stages/window.py:asof_prev_group).
     Partitioning assumption: a user's rows co-locate in one bucket."""
-    from ..stages.window import add_user_bucket, asof_prev_group
+    from ..stages.window import asof_prev_group, user_bucketer
     ds = read_table(sf_dir, "events",
                     columns=["user_id", "event_id", "ts", "event_type", "value"])
-    return (ds.map_batches(add_user_bucket, batch_format="pyarrow")
+    return (ds.map_batches(user_bucketer(), batch_format="pyarrow")
               .groupby("__bucket")
               .map_groups(asof_prev_group, batch_format="pyarrow"))
 
@@ -992,13 +995,20 @@ def _minhash_near_dup_pairs(sf_dir: str) -> pa.Table:
                      "est_jaccard": pa.array(est[keep], pa.float64())})
 
 
-_MINHASH_CACHE: dict[str, pa.Table] = {}
+_MINHASH_CACHE: dict[tuple, pa.Table] = {}
 
 
 def _minhash_pairs_cached(sf_dir: str) -> pa.Table:
-    if sf_dir not in _MINHASH_CACHE:
-        _MINHASH_CACHE[sf_dir] = _minhash_near_dup_pairs(sf_dir)
-    return _MINHASH_CACHE[sf_dir]
+    """Memoize the (expensive) candidate stage so ngram_jaccard_dup does not
+    re-run it — keyed on the corpus file's identity (path, mtime, size), so
+    regenerating documents.parquet in place invalidates the entry."""
+    import os
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = (sf_dir, st.st_mtime_ns, st.st_size)
+    if key not in _MINHASH_CACHE:
+        _MINHASH_CACHE.clear()   # one corpus at a time — bound the memory
+        _MINHASH_CACHE[key] = _minhash_near_dup_pairs(sf_dir)
+    return _MINHASH_CACHE[key]
 
 
 @_q("minhash_near_dup")
@@ -1224,6 +1234,7 @@ def partitioned_write(sf_dir: str):
     """Resumable partitioned Parquet sink: write the fact table partitioned by
     key directory (one dir per partition — a failed run skips finished
     partitions), then read back per-partition counts for verification."""
+    import shutil
     import tempfile
 
     out_dir = tempfile.mkdtemp(prefix="graft_part_write_")
@@ -1232,9 +1243,15 @@ def partitioned_write(sf_dir: str):
     back = ray.data.read_parquet(out_dir)
     from ray.data.aggregate import Count
     out = back.groupby("l_returnflag").aggregate(Count(alias_name="n_rows"))
-    return out.map_batches(
+    result = out.map_batches(
         lambda t: pa.table({"l_returnflag": pc.cast(t["l_returnflag"], pa.string()),
                             "n_rows": t["n_rows"]}), batch_format="pyarrow")
+    # materialize the (tiny) summary before removing the scratch sink —
+    # the lazy dataset still reads from out_dir when consumed
+    tbl = pa.concat_tables(
+        [b for b in result.iter_batches(batch_format="pyarrow")])
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return tbl
 
 
 @_q("entity_graph_write", """
@@ -1268,8 +1285,11 @@ def entity_graph_write(sf_dir: str):
     orphans = ev_back.map_batches(
         MembershipFilter(ukeys, col="user_id", keep=False),
         batch_format="pyarrow").count()
+    n_events = ev_back.count()
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)   # scratch sink — don't leak /tmp
     return pa.table({"n_users": pa.array([len(ukeys)], pa.int64()),
-                     "n_events": pa.array([ev_back.count()], pa.int64()),
+                     "n_events": pa.array([n_events], pa.int64()),
                      "n_orphans": pa.array([orphans], pa.int64())})
 
 

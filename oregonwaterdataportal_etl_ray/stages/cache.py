@@ -93,7 +93,12 @@ class CachedFetchStage:
         if missing_idx:
             # one batched fetch for all misses, deduped by key
             need = list(dict.fromkeys(keys[i] for i in missing_idx))
-            fetched = dict(zip(need, self.fetch_fn(need)))
+            got = self.fetch_fn(need)
+            if len(got) != len(need):
+                raise ValueError(
+                    f"fetch_fn returned {len(got)} values for {len(need)} keys"
+                    " — the contract is one value per key (None = absent)")
+            fetched = dict(zip(need, got))
             for i in missing_idx:
                 v = fetched.get(keys[i])
                 vals[i] = v

@@ -20,15 +20,23 @@ import pyarrow as pa
 from .partitioning import derived_num_buckets
 
 
-def add_user_bucket(t: pa.Table, key: str = "user_id",
-                    num_buckets: int | None = None) -> pa.Table:
-    """Bucket count derives from the cluster width (>= 2 buckets per CPU)
-    unless pinned by the caller — a fixed constant would cap parallelism AND
-    make one map_groups task materialize 1/constant of the dataset at 100 TB."""
+def user_bucketer(key: str = "user_id", num_buckets: int | None = None):
+    """Plan-time factory for the bucket-assignment map fn. The bucket count
+    is resolved HERE (on the driver, once per job): resolving it inside the
+    per-batch fn would re-read ``ray.cluster_resources()`` per task, and an
+    autoscaling cluster could then hash the same key to different bucket
+    counts in different batches, splitting one user across groups. Derives
+    from cluster width (>= 2 buckets per CPU) unless pinned — a fixed
+    constant would cap parallelism AND make one map_groups task materialize
+    1/constant of the dataset at 100 TB."""
     num_buckets = num_buckets or derived_num_buckets()
-    ids = t.column(key).to_numpy(zero_copy_only=False)
-    return t.append_column(
-        "__bucket", pa.array((pd.util.hash_array(ids) % num_buckets).astype(np.int32)))
+
+    def add_user_bucket(t: pa.Table) -> pa.Table:
+        ids = t.column(key).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__bucket",
+            pa.array((pd.util.hash_array(ids) % num_buckets).astype(np.int32)))
+    return add_user_bucket
 
 
 def _sorted_keys(t: pa.Table, key: str, ts: str, tiebreak: str):

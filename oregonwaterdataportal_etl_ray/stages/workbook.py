@@ -53,8 +53,8 @@ def split_source(ds, sheet_col: str, sheets: dict[str, list[str]],
     userCode/xlsx/lib.py:34)."""
     src = ds.materialize()  # read/parse ONCE; outputs are filtered views
     if strict_count:
-        found = set(
-            src.groupby(sheet_col).count().to_pandas()[sheet_col].tolist())
+        # distinct values only — no full count-aggregate nobody reads
+        found = set(src.select_columns([sheet_col]).unique(sheet_col))
         if found != set(sheets):
             raise ValueError(
                 f"workbook must contain exactly sheets {sorted(sheets)}; "

@@ -206,6 +206,10 @@ def test_reshard_preserves_state_and_resumes(corpus, tmp_path):
     new_eng = eng.reshard(new_state, new_num_buckets=16)
     assert new_eng.num_buckets == 16
     assert len(new_eng.lineage()) > 8          # keys actually spread out
+    # GC safety floor must never RISE across a reshard: a new bucket mixes
+    # keys from old buckets with different watermarks, and overstating the
+    # min would let compact() purge tombstones that still block late upserts
+    assert new_eng.safe_tombstone_gc_lsn(0) <= eng.safe_tombstone_gc_lsn(0)
     a = _assert_matches_oracle(new_eng, files[:4])
     b = _assert_matches_oracle(eng, files[:4])
     assert list(a["sha256"]) == list(b["sha256"])
