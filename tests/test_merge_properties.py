@@ -152,3 +152,35 @@ def test_normalize_watermark_strict_filter():
     ne2 = NormalizeEvents(schema, num_buckets=8)
     out2 = ne2(rows)
     assert out2["lsn"].to_pylist() == [15]
+
+
+# ---------------------------------------------------------------------------
+# LSH pair-generation kernel: partition-vectorized == per-bucket reference
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.tuples(st.integers(0, 30),      # doc_id (few -> dup rows)
+                          st.integers(0, 3),       # band_id
+                          st.integers(0, 6)),      # band_hash (few -> big buckets)
+                max_size=120))
+@settings(max_examples=60, deadline=None)
+def test_pairs_in_partition_equals_per_bucket_reference(rows):
+    """For ANY mix of bucket sizes, duplicate doc rows, and oversize
+    truncation, the partition-level vectorized kernel emits exactly the
+    per-bucket reference kernel's pairs."""
+    import numpy as np
+    from oregonwaterdataportal_etl_ray.stages.dedup import bucket_pairs, pairs_in_partition
+
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "band_id": pa.array([r[1] for r in rows], pa.int32()),
+        "band_hash": pa.array(np.array([r[2] for r in rows], dtype=np.uint64)),
+    })
+    got = pairs_in_partition(t, max_bucket=5).to_pandas()
+    got_set = set(zip(got["id_a"], got["id_b"]))
+    want = set()
+    if t.num_rows:
+        df = t.to_pandas()
+        for _, g in df.groupby(["band_id", "band_hash"]):
+            p = bucket_pairs(pa.Table.from_pandas(g), max_bucket=5).to_pandas()
+            want |= set(zip(p["id_a"], p["id_b"]))
+    assert got_set == want
