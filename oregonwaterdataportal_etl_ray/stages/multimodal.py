@@ -1,10 +1,14 @@
 """Multimodal (image/audio/video) stages — opaque binary columns + typed metadata.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in this
-container): ``FakeDecoder`` produces deterministic pseudo-pixels so the
-Ray-side plumbing — schema, small batch sizes for large payloads, actor-pool
-signature, output layout — is real and tested. Swap ``_decode`` for a real
-PIL/ffmpeg call in deployment; nothing else changes.
+Image decode is REAL for BMP (BI_RGB 24-bit) and PNG (8-bit gray/RGB/RGBA,
+filters None/Sub/Up vectorized, Average/Paeth per-scanline) via the
+pure-numpy+zlib codec in :mod:`.imagecodec` — no external image libraries
+needed. ``ImageDecoder`` sniffs the magic bytes and emits (height, width,
+channels, mean_intensity). Formats without a pure-python decoder in this
+container (JPEG, video) remain STUBBED: ``FakeDecoder`` produces
+deterministic pseudo-features so the Ray-side plumbing — schema, small
+batch sizes for large payloads, actor-pool signature, output layout — is
+real and tested; swap in PIL/ffmpeg in deployment, nothing else changes.
 
 Design notes for 100 TB of media:
   - payloads are ``large_binary`` columns; blocks must stay size-bounded, so
@@ -63,6 +67,45 @@ class FakeDecoder:
         out = out.append_column("width", pa.array([f[1] for f in feats], pa.int32()))
         out = out.append_column("mean_intensity",
                                 pa.array([f[2] for f in feats], pa.float64()))
+        if self.drop_payload:
+            out = out.drop_columns([self.payload_col])
+        return out
+
+
+class ImageDecoder:
+    """REAL image decode stage (BMP/PNG via the pure-numpy codec): binary
+    payload column -> (height, width, channels, mean_intensity), dropping
+    the payload early so the object store holds features, not media.
+
+    ``on_error``: 'raise' (default) or 'null' (undecodable/unsupported
+    payloads yield null features — the tolerant-batch semantics of a
+    large-scale media crawl)."""
+
+    def __init__(self, payload_col: str = "payload", drop_payload: bool = True,
+                 on_error: str = "raise"):
+        from .imagecodec import sniff_and_decode
+        self._decode = sniff_and_decode
+        self.payload_col = payload_col
+        self.drop_payload = drop_payload
+        self.on_error = on_error
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs, ws, cs, means = [], [], [], []
+        for v in batch[self.payload_col].to_pylist():
+            try:
+                img = self._decode(v or b"")
+                hs.append(img.shape[0]), ws.append(img.shape[1])
+                cs.append(img.shape[2] if img.ndim == 3 else 1)
+                means.append(float(img.mean()) / 255.0)
+            except (NotImplementedError, ValueError, IndexError, KeyError):
+                if self.on_error == "raise":
+                    raise
+                hs.append(None), ws.append(None), cs.append(None), means.append(None)
+        out = batch
+        out = out.append_column("height", pa.array(hs, pa.int32()))
+        out = out.append_column("width", pa.array(ws, pa.int32()))
+        out = out.append_column("channels", pa.array(cs, pa.int32()))
+        out = out.append_column("mean_intensity", pa.array(means, pa.float64()))
         if self.drop_payload:
             out = out.drop_columns([self.payload_col])
         return out
