@@ -75,6 +75,7 @@ BATTERY = [
     "embedding_norms",
     "ann_topk",
     "multimodal_decode",
+    "image_decode_real",
 ]
 
 

@@ -1309,6 +1309,44 @@ def multimodal_payload_stats(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+@_q("image_decode_real", """
+SELECT doc_id,
+       CAST(16 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) % 16
+            AS INTEGER) AS height,
+       CAST(16 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) % 16
+            AS INTEGER) AS width,
+       CAST(concat('0x', substr(md5(text), 5, 2)) AS INTEGER) / 255.0
+           AS mean_intensity
+FROM documents
+""")
+def image_decode_real(sf_dir: str):
+    """REAL image decode, oracle-checked end to end: each document's content
+    hash deterministically synthesizes a gray PNG (h, w, fill value from the
+    first md5 bytes), which the pure-numpy ImageDecoder then decodes back in
+    an actor-pool stage — so the decoded (height, width, mean) must equal
+    the md5-byte arithmetic the oracle computes in SQL. Exercises the whole
+    encode->binary-column->decode path distributed, not just in unit tests."""
+    import hashlib
+    from ..stages.imagecodec import encode_png
+    from ..stages.multimodal import ImageDecoder
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synthesize(t: pa.Table) -> pa.Table:
+        payloads = []
+        for s in t["text"].to_pylist():
+            d = hashlib.md5((s or "").encode()).digest()
+            h, w, v = 16 + d[0] % 16, 16 + d[1] % 16, d[2]
+            payloads.append(encode_png(np.full((h, w), v, dtype=np.uint8)))
+        return pa.table({"doc_id": t["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    as_img = ds.map_batches(synthesize, batch_format="pyarrow", batch_size=64)
+    out = as_img.map_batches(ImageDecoder, fn_constructor_kwargs=dict(),
+                             batch_format="pyarrow", batch_size=64,
+                             concurrency=_conc())
+    return out.select_columns(["doc_id", "height", "width", "mean_intensity"])
+
+
 @_q("multimodal_decode", """
 SELECT doc_id,
        CAST(16 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) % 64

@@ -105,3 +105,46 @@ def test_image_decoder_in_ray_pipeline(ray_session):
                          concurrency=2).to_pandas()
     assert len(out) == 20
     assert out["height"].tolist() == [4 + i for i in range(20)]
+
+
+# ---------------------------------------------------------------------------
+# WAV audio codec + feature stage
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip_and_features():
+    from oregonwaterdataportal_etl_ray.stages.audiocodec import (
+        AudioFeatures, decode_wav, encode_wav)
+    t_axis = np.arange(16_000, dtype=np.float32) / 16_000
+    mono = (np.sin(2 * np.pi * 440 * t_axis) * 30_000).astype(np.int16)
+    stereo = np.stack([mono, mono // 2], axis=1)
+    for samples, c in ((mono, 1), (stereo, 2)):
+        x, rate = decode_wav(encode_wav(samples, 16_000))
+        assert rate == 16_000 and x.shape == (16_000, c)
+        want = (samples.reshape(16_000, c).astype(np.float32) / 32768.0)
+        assert np.allclose(x, want, atol=1e-6)
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array([encode_wav(mono), b"junk"], pa.binary())})
+    out = AudioFeatures(on_error="null")(t)
+    assert "payload" not in out.column_names
+    assert abs(out["duration_s"][0].as_py() - 1.0) < 1e-9
+    assert out["sample_rate"].to_pylist() == [16_000, None]
+    # rms of a full-scale-ish sine is amplitude/sqrt(2)
+    assert abs(out["rms"][0].as_py() - (30_000 / 32768.0) / np.sqrt(2)) < 1e-3
+    import pytest
+    with pytest.raises(ValueError):
+        AudioFeatures(on_error="raise")(t)
+
+
+def test_audio_features_in_ray_pipeline(ray_session):
+    import ray
+    from oregonwaterdataportal_etl_ray.stages.audiocodec import AudioFeatures, encode_wav
+    rng = np.random.default_rng(5)
+    payloads = [encode_wav((rng.standard_normal(800 * (i + 1)) * 1000)
+                           .astype(np.int16), 8000) for i in range(10)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "payload": pa.array(payloads, pa.binary())}))
+    out = ds.map_batches(AudioFeatures, fn_constructor_kwargs=dict(),
+                         batch_format="pyarrow", batch_size=3,
+                         concurrency=2).to_pandas().sort_values("doc_id")
+    assert np.allclose(out["duration_s"], [(i + 1) * 0.1 for i in range(10)])
