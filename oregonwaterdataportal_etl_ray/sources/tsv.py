@@ -46,6 +46,9 @@ def parse_timeseries_tsv(payload: bytes, drop_nulls: bool = True,
     if drop_nulls:
         keep = pc.is_valid(result)
         date_raw, result = date_raw.filter(keep), result.filter(keep)
+    if date_raw.null_count:
+        raise ValueError(
+            f"tsv response has {date_raw.null_count} rows with a missing date")
     ts = coalesce_timestamps(date_raw, REFERENCE_DATE_FORMATS,
                              assume_tz=assume_tz)
     iso = pc.strftime(ts.cast(pa.timestamp("s", tz="UTC")),

@@ -14,6 +14,8 @@ import struct
 import numpy as np
 import pyarrow as pa
 
+from .multimodal import PayloadFeatureStage as _PayloadFeatureStage
+
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
     """(N,) or (N, C) int16 -> canonical PCM WAV bytes."""
@@ -50,6 +52,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if audio_format != 1 or bits not in (8, 16):
         raise NotImplementedError(
             f"only PCM 8/16-bit WAV supported (format={audio_format}, bits={bits})")
+    if channels < 1 or sample_rate < 1:
+        raise ValueError(
+            f"corrupt WAV fmt chunk (channels={channels}, rate={sample_rate})")
     if bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
     else:
@@ -58,35 +63,15 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return x[:n * channels].reshape(n, channels), sample_rate
 
 
-class AudioFeatures:
+class AudioFeatures(_PayloadFeatureStage):
     """map_batches stage: WAV payload column -> (duration_s, sample_rate,
-    channels, rms), dropping the payload early. ``on_error='null'`` keeps
-    undecodable rows with null features (tolerant crawl semantics)."""
+    channels, rms). Loop, raise-or-null error policy, and drop-payload-early
+    rule come from the shared :class:`PayloadFeatureStage` skeleton."""
 
-    def __init__(self, payload_col: str = "payload", drop_payload: bool = True,
-                 on_error: str = "raise"):
-        self.payload_col = payload_col
-        self.drop_payload = drop_payload
-        self.on_error = on_error
+    FEATURES = {"duration_s": pa.float64(), "sample_rate": pa.int32(),
+                "channels": pa.int32(), "rms": pa.float64()}
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        dur, sr, ch, rms = [], [], [], []
-        for v in batch[self.payload_col].to_pylist():
-            try:
-                x, rate = decode_wav(v or b"")
-                dur.append(len(x) / rate if rate else None)
-                sr.append(rate)
-                ch.append(x.shape[1])
-                rms.append(float(np.sqrt(np.mean(np.square(x)))) if len(x) else 0.0)
-            except (NotImplementedError, ValueError, struct.error):
-                if self.on_error == "raise":
-                    raise
-                dur.append(None), sr.append(None), ch.append(None), rms.append(None)
-        out = batch
-        out = out.append_column("duration_s", pa.array(dur, pa.float64()))
-        out = out.append_column("sample_rate", pa.array(sr, pa.int32()))
-        out = out.append_column("channels", pa.array(ch, pa.int32()))
-        out = out.append_column("rms", pa.array(rms, pa.float64()))
-        if self.drop_payload:
-            out = out.drop_columns([self.payload_col])
-        return out
+    def _features(self, payload: bytes) -> tuple:
+        x, rate = decode_wav(payload)
+        rms = float(np.sqrt(np.mean(np.square(x)))) if len(x) else 0.0
+        return (len(x) / rate, rate, x.shape[1], rms)

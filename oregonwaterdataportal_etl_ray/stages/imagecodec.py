@@ -87,13 +87,6 @@ def encode_png(img: np.ndarray) -> bytes:
         chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
 
 
-def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
-    p = a.astype(np.int16) + b - c
-    pa_, pb_, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-    out = np.where((pa_ <= pb_) & (pa_ <= pc_), a, np.where(pb_ <= pc_, b, c))
-    return out.astype(np.uint8)
-
-
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> (H, W, C) uint8. 8-bit depth, non-interlaced only."""
     if payload[:8] != PNG_MAGIC:
@@ -136,17 +129,24 @@ def decode_png(payload: bytes) -> np.ndarray:
             out[y] = np.cumsum(px.astype(np.uint64), axis=0).astype(np.uint8) \
                 .reshape(-1)
         elif f in (3, 4):                         # Average/Paeth: x-sequential
-            rec = np.zeros(stride, np.uint8)
+            # plain-int arithmetic in the loop — allocating 0-d arrays per
+            # byte is 10-100x slower, and real encoders use Paeth heavily
+            rec = [0] * stride
+            pr = prior.tolist()
+            ln = line.tolist()
             for x in range(stride):
-                a = rec[x - c] if x >= c else np.uint8(0)
-                b = prior[x]
+                a = rec[x - c] if x >= c else 0
+                b = int(pr[x])
                 if f == 3:
-                    rec[x] = line[x] + np.uint8((int(a) + int(b)) >> 1)
+                    rec[x] = (ln[x] + ((a + b) >> 1)) & 0xFF
                 else:
-                    cc = prior[x - c] if x >= c else np.uint8(0)
-                    rec[x] = line[x] + _paeth(np.array(a), np.array(b),
-                                              np.array(cc))
-            out[y] = rec
+                    cc = int(pr[x - c]) if x >= c else 0
+                    p = a + b - cc
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                        (b if pb_ <= pc_ else cc)
+                    rec[x] = (ln[x] + pred) & 0xFF
+            out[y] = np.asarray(rec, dtype=np.uint8)
         else:
             raise ValueError(f"bad PNG filter {f}")
     return out.reshape(h, w, c)

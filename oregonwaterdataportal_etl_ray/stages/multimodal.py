@@ -72,43 +72,60 @@ class FakeDecoder:
         return out
 
 
-class ImageDecoder:
-    """REAL image decode stage (BMP/PNG via the pure-numpy codec): binary
-    payload column -> (height, width, channels, mean_intensity), dropping
-    the payload early so the object store holds features, not media.
+class PayloadFeatureStage:
+    """Shared skeleton for payload-column feature stages: the per-row decode
+    loop, the raise-or-null error policy, the typed output columns, and the
+    drop-payload-early rule live HERE once — subclasses supply ``FEATURES``
+    (name -> Arrow type) and ``_features(payload) -> tuple``.
 
-    ``on_error``: 'raise' (default) or 'null' (undecodable/unsupported
-    payloads yield null features — the tolerant-batch semantics of a
-    large-scale media crawl)."""
+    A corrupt payload in ``on_error='null'`` mode yields null features for
+    that row only (tolerant-crawl semantics); ANY exception from the decode
+    counts as corrupt — a crawl's garbage is not enumerable up front."""
+
+    FEATURES: dict = {}
 
     def __init__(self, payload_col: str = "payload", drop_payload: bool = True,
                  on_error: str = "raise"):
-        from .imagecodec import sniff_and_decode
-        self._decode = sniff_and_decode
         self.payload_col = payload_col
         self.drop_payload = drop_payload
         self.on_error = on_error
 
+    def _features(self, payload: bytes) -> tuple:
+        raise NotImplementedError
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hs, ws, cs, means = [], [], [], []
+        cols: list[list] = [[] for _ in self.FEATURES]
         for v in batch[self.payload_col].to_pylist():
             try:
-                img = self._decode(v or b"")
-                hs.append(img.shape[0]), ws.append(img.shape[1])
-                cs.append(img.shape[2] if img.ndim == 3 else 1)
-                means.append(float(img.mean()) / 255.0)
-            except (NotImplementedError, ValueError, IndexError, KeyError):
+                feats = self._features(v or b"")
+            except Exception:
                 if self.on_error == "raise":
                     raise
-                hs.append(None), ws.append(None), cs.append(None), means.append(None)
+                feats = (None,) * len(self.FEATURES)
+            for c, f in zip(cols, feats):
+                c.append(f)
         out = batch
-        out = out.append_column("height", pa.array(hs, pa.int32()))
-        out = out.append_column("width", pa.array(ws, pa.int32()))
-        out = out.append_column("channels", pa.array(cs, pa.int32()))
-        out = out.append_column("mean_intensity", pa.array(means, pa.float64()))
+        for (name, typ), vals in zip(self.FEATURES.items(), cols):
+            out = out.append_column(name, pa.array(vals, typ))
         if self.drop_payload:
             out = out.drop_columns([self.payload_col])
         return out
+
+
+class ImageDecoder(PayloadFeatureStage):
+    """REAL image decode stage (BMP/PNG via the pure-numpy codec): binary
+    payload column -> (height, width, channels, mean_intensity), dropping
+    the payload early so the object store holds features, not media."""
+
+    FEATURES = {"height": pa.int32(), "width": pa.int32(),
+                "channels": pa.int32(), "mean_intensity": pa.float64()}
+
+    def _features(self, payload: bytes) -> tuple:
+        from .imagecodec import sniff_and_decode
+        img = sniff_and_decode(payload)
+        return (img.shape[0], img.shape[1],
+                img.shape[2] if img.ndim == 3 else 1,
+                float(img.mean()) / 255.0)
 
 
 class FrameSampler:

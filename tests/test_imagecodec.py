@@ -65,6 +65,75 @@ def test_png_sub_and_up_filters_unfilter_correctly():
     assert np.array_equal(decode_png(payload), img)
 
 
+def _png_with_avg_paeth(img: np.ndarray, filters: list[int]) -> bytes:
+    """Build a PNG using Average(3)/Paeth(4) filters, computing the filtered
+    bytes with the spec's integer formulas as an independent reference."""
+    h, w, c = img.shape
+    flat = img.reshape(h, w * c).astype(int)
+    lines = []
+    for y, f in enumerate(filters):
+        orig = flat[y]
+        prior = flat[y - 1] if y else np.zeros(w * c, int)
+        raw = []
+        for x in range(w * c):
+            a = int(orig[x - c]) if x >= c else 0
+            b = int(prior[x])
+            if f == 3:
+                raw.append((orig[x] - ((a + b) >> 1)) % 256)
+            elif f == 4:
+                cc = int(prior[x - c]) if x >= c else 0
+                p = a + b - cc
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else cc)
+                raw.append((orig[x] - pred) % 256)
+            else:
+                raw.append(orig[x] % 256)
+        lines.append(bytes([f]) + bytes(raw))
+    body = b"".join(lines)
+
+    def chunk(tag, data):
+        return struct.pack(">I", len(data)) + tag + data + \
+            struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2, 4: 6}[c], 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+            chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b""))
+
+
+def test_png_average_and_paeth_filters_unfilter_correctly():
+    img = _img(5, 4, 3, seed=11)
+    payload = _png_with_avg_paeth(img, [0, 3, 4, 3, 4])
+    assert np.array_equal(decode_png(payload), img)
+
+
+def test_tolerant_mode_survives_corrupt_compressed_payloads():
+    """on_error='null' must survive ANY garbage: zlib-corrupt IDAT,
+    truncated headers, zero-channel WAV — a crawl's failure modes are not
+    enumerable, so the policy catches everything."""
+    import struct as _s
+    import zlib as _z
+    # valid magic + IHDR but garbage IDAT (raises zlib.error inside)
+    def chunk(tag, body):
+        return _s.pack(">I", len(body)) + tag + body + \
+            _s.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+    bad_png = (b"\x89PNG\r\n\x1a\n" +
+               chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)) +
+               chunk(b"IDAT", b"not zlib data") + chunk(b"IEND", b""))
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([bad_png], pa.binary())})
+    out = ImageDecoder(on_error="null")(t)
+    assert out["height"].to_pylist() == [None]
+
+    from oregonwaterdataportal_etl_ray.stages.audiocodec import AudioFeatures, encode_wav
+    good = encode_wav(np.zeros(10, np.int16))
+    zero_ch = bytearray(good)
+    _s.pack_into("<H", zero_ch, 22, 0)            # fmt.channels = 0
+    ta = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "payload": pa.array([bytes(zero_ch), good], pa.binary())})
+    outa = AudioFeatures(on_error="null")(ta)
+    assert outa["sample_rate"].to_pylist() == [None, 16_000]
+
+
 def test_sniff_dispatch_and_unknown_raises():
     img = _img(3, 3, 3)
     assert np.array_equal(sniff_and_decode(encode_bmp(img)), img)
@@ -102,7 +171,7 @@ def test_image_decoder_in_ray_pipeline(ray_session):
     }))
     out = ds.map_batches(ImageDecoder, fn_constructor_kwargs=dict(),
                          batch_format="pyarrow", batch_size=4,
-                         concurrency=2).to_pandas()
+                         concurrency=2).to_pandas().sort_values("doc_id")
     assert len(out) == 20
     assert out["height"].tolist() == [4 + i for i in range(20)]
 
