@@ -748,6 +748,60 @@ def doc_fingerprint(sf_dir: str):
                           batch_format="pyarrow")
 
 
+@_q("repetition_stats", """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+         END AS n_uniq
+  FROM documents)
+SELECT doc_id, n_tokens,
+       CAST(n_tokens - n_uniq AS BIGINT) AS n_dup_tokens,
+       ROUND(CASE WHEN n_tokens > 0
+                  THEN (n_tokens - n_uniq) * 1.0 / n_tokens ELSE 0 END, 6)
+           AS dup_frac
+FROM s
+""")
+def repetition_stats(sf_dir: str):
+    """Repetition-based quality signal (the Gopher-rules family, Rae et al.
+    2021): per-doc duplicate-token count and fraction. Vectorized: one regex
+    split, one dictionary-encode of the flattened tokens, one lexsort over
+    (doc, token-code) — never a Python loop over tokens."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        n = np.where(empty, 0, n)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        if len(flat):
+            enc = pc.dictionary_encode(flat.combine_chunks()
+                                       if isinstance(flat, pa.ChunkedArray) else flat)
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            order = np.lexsort((codes, parents))
+            p, c_ = parents[order], codes[order]
+            first = np.ones(len(p), dtype=bool)
+            first[1:] = (p[1:] != p[:-1]) | (c_[1:] != c_[:-1])
+            uniq = np.bincount(p[first], minlength=t.num_rows).astype(np.int64)
+        else:
+            uniq = np.zeros(t.num_rows, np.int64)
+        uniq = np.where(empty, 0, uniq)
+        dup = n - uniq
+        with np.errstate(invalid="ignore"):
+            frac = np.where(n > 0, dup / np.maximum(n, 1), 0.0)
+        frac = np.floor(frac * 1e6 + 0.5) / 1e6     # half-away, = SQL ROUND
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pa.array(n),
+                         "n_dup_tokens": pa.array(dup),
+                         "dup_frac": pa.array(frac)})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 @_q("sample_by_content_hash", """
 SELECT doc_id FROM documents WHERE substr(md5(text), 1, 2) < '40'
 """)
