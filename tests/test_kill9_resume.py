@@ -1,0 +1,85 @@
+"""The north-rule resumability scenario, literally: a replay JOB PROCESS is
+SIGKILL'd mid-run (no cleanup, no atexit — the `ray job submit` crash case),
+then a fresh engine on the same state dir resumes from per-partition
+checkpoints and reconverges byte-identically with the oracle, without
+reprocessing committed epochs."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+from oregonwaterdataportal_etl_ray.cdc import CdcEngine, oracle_replay
+from oregonwaterdataportal_etl_ray.fixtures import GeneratorSpec, generate_change_events
+
+JOB = r"""
+import glob, sys
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from oregonwaterdataportal_etl_ray.cdc.engine import CdcEngine
+files = sorted(glob.glob(sys.argv[1] + "/*.parquet"))
+CdcEngine(sys.argv[2], num_buckets=8, compact_every=3).replay(files, epoch_size=1)
+print("JOB DONE", flush=True)
+"""
+
+
+def test_sigkill_mid_replay_resumes_byte_identically(ray_session, tmp_path):
+    ev_dir = str(tmp_path / "ev")
+    state = str(tmp_path / "state")
+    meta = generate_change_events(ev_dir, GeneratorSpec(
+        n_events=24_000, n_repos=30, paths_per_repo=25, n_batches=12,
+        seed=31, dup_rate=0.06, shuffle_frac=0.4, delete_rate=0.05))
+
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    # own session: SIGKILL the whole process group so the job's raylet and
+    # workers die with it (a crashed `ray job submit` takes its node down)
+    proc = subprocess.Popen([sys.executable, "-c", JOB, ev_dir, state],
+                            env=env, start_new_session=True,
+                            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+    epochs_path = os.path.join(state, "epochs.json")
+
+    def committed() -> int:
+        try:
+            with open(epochs_path) as f:
+                return len(json.load(f))
+        except (OSError, json.JSONDecodeError):
+            return 0  # mid-rename / not yet created
+
+    deadline = time.time() + 120
+    while committed() < 3 and time.time() < deadline and proc.poll() is None:
+        time.sleep(0.05)
+    if proc.poll() is None:
+        os.killpg(proc.pid, signal.SIGKILL)
+        proc.wait()
+    n_before = committed()
+    assert n_before >= 3, "job never committed enough epochs to test resume"
+
+    # no committed-visible temp orphans (tmp files live under .tmp/ only)
+    stray = [p for p in
+             __import__("glob").glob(f"{state}/**/*.parquet", recursive=True)
+             if "/.tmp/" in p]
+    assert not stray
+
+    # resume with a FRESH engine (this process's Ray session); committed
+    # epochs must be skipped, the remainder applied, and the final table
+    # must equal the single-process oracle row for row (sha256 + lsn)
+    eng = CdcEngine(state, num_buckets=8, compact_every=3)
+    eng.replay(sorted(meta["files"]), epoch_size=1)
+    applied = {f for r in eng.committed_epochs() for f in r.get("files", [])}
+    assert applied == {os.path.realpath(f) for f in meta["files"]}
+
+    final = eng.final_table().to_pandas().sort_values(["repo", "path"]) \
+        .reset_index(drop=True)
+    want = oracle_replay(sorted(meta["files"])).sort_values(["repo", "path"]) \
+        .reset_index(drop=True)
+    assert len(final) == len(want)
+    assert list(final["sha256"]) == list(want["sha256"])
+    assert list(final["lsn"]) == list(want["lsn"])
