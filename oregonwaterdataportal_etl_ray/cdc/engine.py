@@ -118,7 +118,7 @@ def _merge_bucket(group: pa.Table, *, state_dir: str, epoch: int,
     stats = dict(m.stats) if m.stats else {"upserts": 0, "deletes": 0, "skipped_stale": 0}
     runs = list(m.runs)
     if fresh.num_rows:
-        fresh = fresh.sort_by([("__key", "ascending")])
+        fresh = fresh.sort_by([("repo", "ascending"), ("path", "ascending")])
         n_del = fresh.column("content").null_count
         n_up = fresh.num_rows - n_del
         rel = f"data/bucket={bucket:05d}/run-{epoch:05d}.parquet"
@@ -135,7 +135,8 @@ def _merge_bucket(group: pa.Table, *, state_dir: str, epoch: int,
     if runs and len(runs) >= compact_every:
         parts = ([_read_rel(state_dir, base_file)] if base_file else []) + \
                 [_read_rel(state_dir, r) for r in runs]
-        merged = merge_sorted_runs(parts).sort_by([("__key", "ascending")])
+        merged = merge_sorted_runs(parts).sort_by(
+            [("repo", "ascending"), ("path", "ascending")])
         superseded = ([base_file] if base_file else []) + runs
         base_file = f"data/bucket={bucket:05d}/base-{epoch:05d}.parquet"
         atomic_write_table(os.path.join(state_dir, base_file), merged)
@@ -168,7 +169,7 @@ class _ReadBucket:
         block would give downstream blocks an inconsistent schema (Ray's
         'RefBundle with a different schema' warning)."""
         fields = [f for f in (self.schema or pa.schema([]))
-                  if f.name not in ("__key", "bucket")]
+                  if f.name != "bucket"]
         fields.append(pa.field("lsn", pa.int64()))
         if self.with_sha:
             fields.append(pa.field("sha256", pa.string()))
@@ -188,7 +189,7 @@ class _ReadBucket:
             t = drop_tombstones(merged)
             if self.with_sha:
                 t = t.append_column("sha256", sha256_hex(t["content"]))
-            out.append(t.drop_columns(["__key", "bucket"]))
+            out.append(t.drop_columns(["bucket"]))
         if not out:
             return self._empty()
         return pa.concat_tables(out, promote_options="permissive")
@@ -521,7 +522,8 @@ class CdcEngine:
                 if merged is None or merged.num_rows == 0:
                     m.base_file = None
                 else:
-                    merged = merged.sort_by([("__key", "ascending")])
+                    merged = merged.sort_by(
+                        [("repo", "ascending"), ("path", "ascending")])
                     base_file = f"data/bucket={m.bucket:05d}/base-{m.epoch:05d}.parquet"
                     atomic_write_table(os.path.join(state_dir, base_file), merged)
                     m.base_file = base_file
@@ -593,7 +595,7 @@ class CdcEngine:
             return new_eng
 
         src_dir, dst_dir = self.state_dir, new_state_dir
-        from .merge import bucket_of_keys
+        from .merge import bucket_of_keys, key_column
 
         def rebucket(batch: pa.Table) -> pa.Table:
             out = []
@@ -606,7 +608,7 @@ class CdcEngine:
                 merged = merge_sorted_runs(parts)
                 if merged is None:
                     continue
-                nb = pa.array(bucket_of_keys(merged["__key"], new_num_buckets),
+                nb = pa.array(bucket_of_keys(key_column(merged), new_num_buckets),
                               pa.int32())
                 merged = merged.set_column(
                     merged.schema.get_field_index("bucket"), "bucket", nb)
@@ -620,7 +622,7 @@ class CdcEngine:
             m = load_manifest(dst_dir, bucket)
             if m is not None and m.epoch >= target_epoch:
                 return pa.table({"bucket": pa.array([bucket], pa.int32())})
-            t = group.sort_by([("__key", "ascending")])
+            t = group.sort_by([("repo", "ascending"), ("path", "ascending")])
             rel = f"data/bucket={bucket:05d}/base-{target_epoch:05d}.parquet"
             atomic_write_table(os.path.join(dst_dir, rel), t)
             write_manifest(dst_dir, BucketManifest(

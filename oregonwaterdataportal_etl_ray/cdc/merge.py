@@ -88,14 +88,16 @@ def _lww_mask(codes: np.ndarray, lsn: np.ndarray) -> np.ndarray | None:
 def reduce_lww(t: pa.Table) -> pa.Table:
     """Keep, per (repo, path), the single row with the greatest LSN.
 
-    Requires ``__key`` and ``lsn`` columns. Ties (duplicate delivery of the
-    same commit) keep one arbitrary copy — the rows are verbatim identical.
-    Vectorized: dictionary-encode the key, lexsort (key, lsn), take the last
-    row of each key run.
+    Requires an ``lsn`` column; the combined key is recomputed from
+    (repo, path) — the shuffle and the persisted state never carry a
+    redundant key column (it duplicated ~13% of every exchanged byte).
+    Ties (duplicate delivery of the same commit) keep one arbitrary copy —
+    the rows are verbatim identical. Vectorized: dictionary-encode the key,
+    lexsort (key, lsn), take the last row of each key run.
     """
     if t.num_rows <= 1:
         return t
-    codes, _ = _encode_keys(t.column("__key"))
+    codes, _ = _encode_keys(key_column(t))
     lsn = t.column("lsn").to_numpy(zero_copy_only=False)
     winners = _lww_mask(codes, lsn)
     if winners is None:
@@ -140,7 +142,9 @@ class NormalizeEvents:
         t = conform_batch(batch, self.target, self.evolution)
         t = t.append_column("lsn", parse_lsn(t["commit"]))
         keys = key_column(t)
-        t = t.append_column("__key", keys)
+        # NOTE: the combined key is NOT appended as a column — it would
+        # duplicate repo+path (~13% of every byte the shuffle and the LSM
+        # state move); downstream recomputes it from (repo, path)
         # one dictionary-encode shared by bucketing AND the partial LWW reduce
         codes, uniq = _encode_keys(keys)
         uh = (pd.util.hash_array(np.asarray(uniq.to_pylist(), dtype=object))
