@@ -22,9 +22,14 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from oregonwaterdataportal_etl_ray.pipelines import QUERIES
+    """Oracle-backed queries first (the driver checks a bounded prefix of
+    this dict; rows-only approximate families go last so every query with an
+    oracle gets the full rows+schema+hash gate)."""
+    from oregonwaterdataportal_etl_ray.pipelines import ORACLE_SQL, QUERIES
 
-    return dict(QUERIES)
+    ordered = {k: v for k, v in QUERIES.items() if k in ORACLE_SQL}
+    ordered.update({k: v for k, v in QUERIES.items() if k not in ORACLE_SQL})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

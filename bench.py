@@ -155,12 +155,16 @@ def run_cdc(n_events: int, n_epochs: int = 4) -> dict:
 def run_battery(sf_dir: str) -> dict[str, float]:
     import pyarrow as pa
     import __ray_entry__ as e
+    from oregonwaterdataportal_etl_ray.pipelines.queries import _MINHASH_CACHE
     qs = e.queries()
     times: dict[str, float] = {}
     for name in BATTERY:
         fn = qs.get(name)
         if fn is None:
             continue
+        # the minhash candidate stage memoizes per process; clear it so every
+        # timed entry measures its full pipeline, like-for-like across rounds
+        _MINHASH_CACHE.clear()
         t0 = time.time()
         res = fn(sf_dir)
         if not isinstance(res, pa.Table) and hasattr(res, "count"):

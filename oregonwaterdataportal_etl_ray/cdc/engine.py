@@ -189,7 +189,11 @@ class _ReadBucket:
             t = drop_tombstones(merged)
             if self.with_sha:
                 t = t.append_column("sha256", sha256_hex(t["content"]))
-            out.append(t.drop_columns(["bucket"]))
+            # state dirs written before the __key column was removed from the
+            # shuffle still carry it in base/run files; drop defensively so a
+            # pre-change state dir can't leak a null-padded __key into output
+            drop = [c for c in ("bucket", "__key") if c in t.column_names]
+            out.append(t.drop_columns(drop))
         if not out:
             return self._empty()
         return pa.concat_tables(out, promote_options="permissive")
@@ -344,8 +348,15 @@ class CdcEngine:
         # that sort before already-applied ones). Paths are normalized so a
         # restart spelling events_dir differently (relative vs absolute,
         # through a symlink) cannot re-apply committed files as new epochs.
+        # Migration caveat: records written by pre-normalization revisions may
+        # hold relative paths that realpath differently under another CWD, so
+        # match on BOTH the raw recorded string and its realpath — a resumed
+        # run from a new directory then still recognizes committed files
+        # whenever either spelling lines up (worst case is duplicated work,
+        # which LWW keeps correct).
         files = [os.path.realpath(f) for f in files]
-        applied = {os.path.realpath(f) for rec in done for f in rec.get("files", [])}
+        applied = {f for rec in done for f in rec.get("files", [])}
+        applied |= {os.path.realpath(f) for f in applied}
         pending = [f for f in files if f not in applied]
         result = ReplayResult(epochs=list(done))
         groups = [pending[i:i + epoch_size]

@@ -20,8 +20,9 @@ import ray
 from ..functions.kernels import md5_hex
 from ..sources.readers import read_table, small_table
 from ..stages.ann import BruteForceTopK, final_topk
-from ..stages.dedup import (BandExploder, MinHasher, SimHasher, exact_ngram_jaccard,
-                            pairs_in_partition, simhash_pairs_in_partition)
+from ..stages.dedup import (BandExploder, MinHasher, NgramPairVerifier, SimHasher,
+                            load_candidate_texts, pairs_in_partition,
+                            simhash_pairs_in_partition)
 from ..stages.joins import BroadcastLookup, MembershipFilter
 from ..stages.kernels import keep_last_by
 from ..stages.partitioning import derived_join_partitions, derived_num_buckets
@@ -472,18 +473,19 @@ def workbook_split(sf_dir: str):
     from ray.data.aggregate import Count, Sum
     from ..stages.workbook import split_source
     sheet_names = ["click", "error", "purchase", "signup", "view"]
-    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
-    out = split_source(ds, "event_type",
+    src = read_table(sf_dir, "events",
+                     columns=["event_id", "event_type", "value"]).materialize()
+    out = split_source(src, "event_type",
                        {s: ["event_id", "value"] for s in sheet_names})
-    # the split (S10) produced the five validated views; the oracle summary
-    # is ONE aggregate pass over their re-tagged union — not 2 passes/sheet
-    tagged = [out[s].map_batches(
-        lambda t, name=s: t.append_column("sheet", pa.array([name] * t.num_rows)),
-        batch_format="pyarrow") for s in sheet_names]
-    u = tagged[0].union(*tagged[1:])
-    res = (u.groupby("sheet")
-            .aggregate(Count(alias_name="n_rows"), Sum("value", alias_name="sum_value"))
-            .to_pandas().sort_values("sheet").reset_index(drop=True))
+    for s in sheet_names:  # the split's views carry exactly the declared columns
+        assert set(out[s].schema().names) == {"event_id", "value"}
+    # oracle summary: ONE grouped pass over the materialized source — the
+    # round-2 shape (5 filtered views re-tagged + union) re-scanned the
+    # materialized blocks once per sheet
+    res = (src.groupby("event_type")
+              .aggregate(Count(alias_name="n_rows"), Sum("value", alias_name="sum_value"))
+              .rename_columns({"event_type": "sheet"})
+              .to_pandas().sort_values("sheet").reset_index(drop=True))
     # sign-aware round-half-away-from-zero (= SQL ROUND), not pandas'
     # half-even — same mismatch class fixed in stages/text.py QualityScore
     v = res["sum_value"].to_numpy()
@@ -825,15 +827,19 @@ def pack_documents(sf_dir: str):
     <= 2048 whitespace tokens WITHIN each hash bucket (the partitioning
     assumption: a bin never spans buckets, so packing parallelizes as one
     vectorized-count + greedy pass per bucket with no cross-task state).
-    Deterministic: bucket = hash(doc_id), docs packed in doc_id order.
-    Returns one row per bin: (bucket, bin_id, n_docs, total_tokens).
-    Rows-only; the budget/coverage invariants are pinned in pytest."""
+    Deterministic ACROSS cluster sizes: bucket = hash(doc_id) % a PINNED
+    bucket count (not the cluster-derived one — the bin layout is part of
+    the result, so it must not change when the cluster is resized; contrast
+    dataset-internal bucketings where the count only affects parallelism).
+    Docs pack in doc_id order within a bucket. Returns one row per bin:
+    (bucket, bin_id, n_docs, total_tokens). Rows-only; the budget/coverage
+    invariants are pinned in pytest."""
     from ..stages.text import token_count
     budget = 2048
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     counted = ds.map_batches(
         lambda t: token_count(t).drop_columns(["text"]), batch_format="pyarrow")
-    nb = derived_num_buckets()
+    nb = 64  # pinned: result-defining, so independent of cluster width
 
     def add_bucket(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -888,8 +894,10 @@ def winnow_fingerprints(sf_dir: str):
         # lists (docs shorter than k) — list_slice keeps those valid-empty
         sl = pc.list_slice(fps, 0, 1)
         lens = pc.list_value_length(sl).to_numpy(zero_copy_only=False)
-        flat = iter(pc.cast(pc.list_flatten(sl), pa.string()).to_pylist())
-        first = pa.array([next(flat) if n else None for n in lens], pa.string())
+        flat = pc.cast(pc.list_flatten(sl), pa.string())
+        mask = lens > 0
+        take = pa.array(np.cumsum(mask) - 1, mask=~mask)  # null idx -> null out
+        first = flat.take(take)
         return pa.table({"doc_id": t["doc_id"], "n_fp": n_fp, "fp_min": first})
     return out.map_batches(summarize, batch_format="pyarrow")
 
@@ -1076,27 +1084,31 @@ def minhash_near_dup(sf_dir: str):
 def ngram_jaccard_dup(sf_dir: str):
     """Exact n-gram Jaccard verification of LSH candidates (two-stage
     near-dup). Candidate pairs come from the memoized minhash stage (not a
-    re-run of the whole pipeline); only the candidate ids' texts are pulled
-    (predicate-pushdown read of the small candidate set), never the corpus."""
-    import pyarrow.dataset as pads
-    cand_pd = _minhash_pairs_cached(sf_dir).to_pandas()
-    if not len(cand_pd):
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    need = sorted(set(cand_pd["id_a"]) | set(cand_pd["id_b"]))
-    docs = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
-        columns=["doc_id", "text"],
-        filter=pads.field("doc_id").isin(need)).to_pandas().set_index("doc_id")
-    rows = []
-    for a, b in zip(cand_pd["id_a"], cand_pd["id_b"]):
-        jac = exact_ngram_jaccard(docs.loc[int(a), "text"], docs.loc[int(b), "text"], k=5)
-        if jac >= 0.6:
-            rows.append((int(a), int(b), round(jac, 6)))
-    rows.sort()
-    return pa.table({"id_a": pa.array([r[0] for r in rows], pa.int64()),
-                     "id_b": pa.array([r[1] for r in rows], pa.int64()),
-                     "jaccard": pa.array([r[2] for r in rows], pa.float64())})
+    re-run of the whole pipeline). The candidate texts are pushdown-read
+    INSIDE a Ray task (driver holds only the object ref) and the per-pair
+    exact verify runs distributed in an actor-pool map_batches stage over
+    the pair Dataset — no driver-side per-pair loop."""
+    cand = _minhash_pairs_cached(sf_dir)
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if not len(cand):
+        return empty
+    need = np.unique(np.concatenate([cand["id_a"].to_numpy(zero_copy_only=False),
+                                     cand["id_b"].to_numpy(zero_copy_only=False)]))
+    texts_ref = ray.remote(num_returns=1)(load_candidate_texts).remote(
+        f"{sf_dir}/documents.parquet", need.tolist())
+    pairs_ds = ray.data.from_arrow(cand.select(["id_a", "id_b"]))
+    out = pairs_ds.map_batches(
+        NgramPairVerifier, fn_constructor_kwargs=dict(texts_ref=texts_ref, k=5),
+        batch_format="pyarrow", batch_size=4096, concurrency=_conc())
+    verified = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    if not len(verified):
+        return empty
+    jac = pc.round(verified["jaccard"], 6)
+    verified = verified.set_column(2, "jaccard", jac) \
+                       .filter(pc.greater_equal(jac, 0.6))
+    return verified.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
 
 @_q("simhash_near_dup")
@@ -1335,14 +1347,41 @@ def entity_graph_write(sf_dir: str):
 
     users_back = ray.data.read_parquet(f"{out}/users")
     ev_back = ray.data.read_parquet(f"{out}/events")
-    ukeys = np.sort(users_back.to_pandas()["user_id"].to_numpy())  # small side
-    orphans = ev_back.map_batches(
-        MembershipFilter(ukeys, col="user_id", keep=False),
-        batch_format="pyarrow").count()
+    n_users = users_back.count()
     n_events = ev_back.count()
+
+    # Distributed exact orphan check: co-partition BOTH sides on a bucket of
+    # the FK, anti-join inside each bucket. The parent side never reaches the
+    # driver (at 100x the distinct-parent set is no longer a "small side");
+    # the shuffle moves (user_id, side) pairs only, and the driver receives a
+    # per-bucket orphan count.
+    nb = derived_num_buckets()
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            uid = t.column("user_id")
+            return pa.table({
+                "user_id": uid,
+                "__side": pa.array(np.full(len(t), side, np.int8)),
+                "__bucket": pc.cast(pc.bit_wise_and(uid, nb - 1), pa.int32()),
+            })
+        return fn
+
+    tagged = users_back.map_batches(tag(0), batch_format="pyarrow").union(
+        ev_back.select_columns(["user_id"]).map_batches(tag(1), batch_format="pyarrow"))
+
+    def count_orphans(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        n = int(np.sum(~np.isin(uid[side == 1], uid[side == 0])))
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    orphans = int(tagged.groupby("__bucket")
+                        .map_groups(count_orphans, batch_format="pyarrow")
+                        .sum("n"))
     import shutil
     shutil.rmtree(out, ignore_errors=True)   # scratch sink — don't leak /tmp
-    return pa.table({"n_users": pa.array([len(ukeys)], pa.int64()),
+    return pa.table({"n_users": pa.array([n_users], pa.int64()),
                      "n_events": pa.array([n_events], pa.int64()),
                      "n_orphans": pa.array([orphans], pa.int64())})
 
@@ -1380,15 +1419,17 @@ def image_decode_real(sf_dir: str):
     an actor-pool stage — so the decoded (height, width, mean) must equal
     the md5-byte arithmetic the oracle computes in SQL. Exercises the whole
     encode->binary-column->decode path distributed, not just in unit tests."""
-    import hashlib
     from ..stages.imagecodec import encode_png
     from ..stages.multimodal import ImageDecoder
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def synthesize(t: pa.Table) -> pa.Table:
+        # md5s batched via the zero-copy digest kernel; only the PNG bytes
+        # (inherently per-payload) are built in the loop
+        hexes = md5_hex(pc.fill_null(t["text"], "")).to_pylist()
         payloads = []
-        for s in t["text"].to_pylist():
-            d = hashlib.md5((s or "").encode()).digest()
+        for hx in hexes:
+            d = bytes.fromhex(hx[:6])
             h, w, v = 16 + d[0] % 16, 16 + d[1] % 16, d[2]
             payloads.append(encode_png(np.full((h, w), v, dtype=np.uint8)))
         return pa.table({"doc_id": t["doc_id"],

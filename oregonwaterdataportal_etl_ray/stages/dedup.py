@@ -373,6 +373,56 @@ def exact_ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def load_candidate_texts(path: str, ids) -> pa.Table:
+    """Pushdown-read the candidate ids' (doc_id, text) rows. Meant to run as
+    ``ray.remote(load_candidate_texts).remote(...)`` so the driver holds only
+    an object ref, never the texts."""
+    import pyarrow.dataset as pads
+    return pads.dataset(path).to_table(
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin(list(ids)))
+
+
+class NgramPairVerifier:
+    """map_batches actor stage: exact k-gram Jaccard for candidate pairs.
+
+    The candidate-id texts (output-sized, bounded by the LSH design) are
+    resolved once per actor from an object ref; their shingle-hash sets are
+    built in ONE vectorized `_batch_rolling_hashes` pass and stored as
+    sorted-unique uint64 arrays. Each batch of (id_a, id_b) pairs then costs
+    one `np.intersect1d` per pair over those precomputed arrays — the
+    per-pair loop the driver used to run now shards across the actor pool."""
+
+    def __init__(self, texts_ref, k: int = 5):
+        import ray
+        t = ray.get(texts_ref) if isinstance(texts_ref, ray.ObjectRef) else texts_ref
+        h, di, n = _batch_rolling_hashes(t["text"], k, _BASE, pad_short=True)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, di))
+        h, di = h[order], di[order]
+        if len(h):
+            keep = np.ones(len(h), bool)
+            keep[1:] = (h[1:] != h[:-1]) | (di[1:] != di[:-1])
+            h, di = h[keep], di[keep]
+        counts = np.bincount(di, minlength=n)
+        starts = np.concatenate(([0], np.cumsum(counts)))
+        self.sets = {int(ids[i]): h[starts[i]:starts[i + 1]] for i in range(n)}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ia = batch["id_a"].to_numpy(zero_copy_only=False)
+        ib = batch["id_b"].to_numpy(zero_copy_only=False)
+        jac = np.empty(len(ia), dtype=np.float64)
+        for j in range(len(ia)):
+            sa, sb = self.sets[int(ia[j])], self.sets[int(ib[j])]
+            if not len(sa) and not len(sb):
+                jac[j] = 1.0
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            jac[j] = inter / (len(sa) + len(sb) - inter)
+        return pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
+                         "jaccard": pa.array(jac, pa.float64())})
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------

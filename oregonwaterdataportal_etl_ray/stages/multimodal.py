@@ -34,12 +34,13 @@ class PayloadStats:
         self.payload_col = payload_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        from ..functions.kernels import md5_hex
         col = batch[self.payload_col]
-        sizes = [len(v) if v is not None else 0 for v in col.to_pylist()]
-        digests = [hashlib.md5(v).hexdigest() if v is not None else None
-                   for v in col.to_pylist()]
-        out = batch.append_column("payload_bytes", pa.array(sizes, pa.int64()))
-        return out.append_column("payload_md5", pa.array(digests, pa.string()))
+        sizes = pc.cast(pc.fill_null(pc.binary_length(col), 0), pa.int64())
+        digests = md5_hex(col)  # zero-copy memoryview digests, one pass
+        out = batch.append_column("payload_bytes", sizes)
+        return out.append_column("payload_md5", digests)
 
 
 class FakeDecoder:

@@ -70,7 +70,7 @@ def split_source(ds, sheet_col: str, sheets: dict[str, list[str]],
 
 def _cogroup_nest(t: pa.Table, parent_key: str, parent_cols: list[str],
                   child_cols: list[str], order_cols: list[str],
-                  list_col: str) -> pa.Table:
+                  list_col: str, on_orphan: str = "drop") -> pa.Table:
     """ONE bucket of unioned parent+child rows -> one row per matched parent
     with its parent columns and a sorted list<struct> of children. Fully
     vectorized: one sort, boundary offsets, one ListArray build, one
@@ -79,6 +79,11 @@ def _cogroup_nest(t: pa.Table, parent_key: str, parent_cols: list[str],
     pt = t.filter(pa.array(role == 0))
     ct = t.filter(pa.array(role == 1))
     if pt.num_rows == 0 or ct.num_rows == 0:
+        if on_orphan == "error" and ct.num_rows and pt.num_rows == 0:
+            first = ct[parent_key][0].as_py()
+            raise ValueError(
+                f"orphan children: {ct.num_rows} child rows reference parent "
+                f"keys absent from the parent set (first key: {first!r})")
         child_struct_t = pa.struct([t.schema.field(c) for c in child_cols])
         return pa.table(
             {parent_key: pa.array([], t.schema.field(parent_key).type),
@@ -105,6 +110,11 @@ def _cogroup_nest(t: pa.Table, parent_key: str, parent_cols: list[str],
     pos = np.searchsorted(pk, nest_keys)
     pos_c = np.clip(pos, 0, len(pk) - 1)
     matched = pk[pos_c] == nest_keys
+    if on_orphan == "error" and not matched.all():
+        bad = nest_keys[~matched]
+        raise ValueError(
+            f"orphan children: {len(bad)} child groups reference parent keys "
+            f"absent from the parent set (first key: {bad[0]!r})")
     sel = pa.array(pos_c[matched])
     keep_lists = lists.filter(pa.array(matched)) if not matched.all() else lists
     cols = {parent_key: pt[parent_key].take(sel)}
@@ -116,11 +126,18 @@ def _cogroup_nest(t: pa.Table, parent_key: str, parent_cols: list[str],
 
 def nest_children(parent_ds, child_ds, parent_key: str, child_key: str,
                   child_cols: list[str], order_cols: list[str] | None = None,
-                  list_col: str = "children", num_buckets: int | None = None):
+                  list_col: str = "children", num_buckets: int | None = None,
+                  on_orphan: str = "drop"):
     """Join-and-nest: each parent row gains ``list_col`` = list<struct> of
     its children's ``child_cols`` (sorted by ``order_cols``). Parents
     without children are dropped (inner semantics — the reference only
     emits entities present in the workbook).
+
+    ``on_orphan`` governs CHILDREN whose parent key is missing:
+    ``"drop"`` (default) silently filters them — inner-join semantics,
+    data loss if the upstream is corrupt; ``"error"`` raises with a count
+    and the first offending key, mirroring the reference's fail-loud law
+    (userCode/xlsx/helpers.py 'Associated thing ... not found').
 
     ONE exchange total: both sides union with a role tag and hash-bucket by
     the key, and each bucket co-groups, nests, and attaches parent columns
@@ -160,5 +177,5 @@ def nest_children(parent_ds, child_ds, parent_key: str, child_key: str,
                     .map_groups(
                         lambda g: _cogroup_nest(g, parent_key, parent_cols,
                                                 child_cols, order_cols,
-                                                list_col),
+                                                list_col, on_orphan),
                         batch_format="pyarrow"))

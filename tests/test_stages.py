@@ -5,6 +5,7 @@ planted duplicates, ANN on planted neighbors, multimodal stub plumbing."""
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pytest
 
 from oregonwaterdataportal_etl_ray.functions.kernels import deterministic_id, md5_hex, sha256_hex
 from oregonwaterdataportal_etl_ray.stages.ann import BruteForceTopK, HyperplaneLSH, _matrix, final_topk
@@ -346,3 +347,26 @@ def test_bloom_membership_filter_is_exact(ray_session):
     anti = f_anti(t)["k"].to_numpy()
     assert set(semi) == set(keys.tolist())          # exact despite Bloom FPs
     assert set(anti) == set(range(1000)) - set(keys.tolist())
+
+
+def test_ngram_pair_verifier_matches_scalar_reference(ray_session):
+    """The distributed pair-verify stage must agree exactly with the scalar
+    exact_ngram_jaccard on every pair, including short-text padding."""
+    from oregonwaterdataportal_etl_ray.stages.dedup import NgramPairVerifier
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog " * 10,
+        2: ("the quick brown fox jumps over the lazy dog " * 10).replace("lazy", "sleepy"),
+        3: "completely different content about databases " * 10,
+        4: "ab",          # shorter than k -> zero-padded single shingle
+        5: "ab",
+    }
+    tbl = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                    "text": pa.array(list(texts.values()))})
+    pairs = [(1, 2), (1, 3), (2, 3), (4, 5), (1, 4)]
+    batch = pa.table({"id_a": pa.array([a for a, _ in pairs], pa.int64()),
+                      "id_b": pa.array([b for _, b in pairs], pa.int64())})
+    ver = NgramPairVerifier(tbl, k=5)   # texts_ref may be a plain table
+    got = ver(batch)
+    for (a, b), jac in zip(pairs, got["jaccard"].to_pylist()):
+        assert jac == pytest.approx(exact_ngram_jaccard(texts[a], texts[b], k=5))
+    assert got["jaccard"].to_pylist()[3] == 1.0   # identical short docs

@@ -59,3 +59,24 @@ def test_nest_children_sorted_lists_and_inner_semantics(ray_session):
     assert [k["val"] for k in kids10] == ["a", "z"]     # sorted by seq
     assert [k["seq"] for k in kids10] == [1, 2]
     assert [k["val"] for k in got.loc[1, "kids"]] == ["b"]
+
+
+def test_nest_children_strict_orphan_raises(ray_session):
+    parents = ray.data.from_arrow(pa.table({
+        "pk": pa.array([10, 20], pa.int64()),
+        "pname": ["ten", "twenty"],
+    }))
+    children = ray.data.from_arrow(pa.table({
+        "fk": pa.array([20, 10, 99], pa.int64()),   # 99: orphan child
+        "seq": pa.array([1, 1, 1], pa.int64()),
+        "val": ["b", "a", "orphan"],
+    }))
+    # default mode drops the orphan silently (inner semantics) ...
+    got = nest_children(parents, children, "pk", "fk", ["seq", "val"],
+                        num_buckets=4).to_pandas()
+    assert sorted(got["pk"].tolist()) == [10, 20]
+    # ... strict mode mirrors the reference's fail-loud law
+    # (userCode/xlsx/helpers.py 'Associated thing ... not found')
+    with pytest.raises(Exception, match="orphan children"):
+        nest_children(parents, children, "pk", "fk", ["seq", "val"],
+                      num_buckets=4, on_orphan="error").materialize()
