@@ -495,6 +495,83 @@ def workbook_split(sf_dir: str):
                      "sum_value": pa.array(res["sum_value"], pa.float64())})
 
 
+@_q("workbook_parse_real", """
+SELECT * FROM (
+  SELECT 'Data' AS sheet, count(*) AS n_rows,
+         ROUND(SUM(value), 4) AS checksum FROM events
+  UNION ALL
+  SELECT 'Metadata', count(*), CAST(SUM(event_id) AS DOUBLE) FROM events
+  UNION ALL
+  SELECT 'Site Data', count(*), CAST(SUM(user_id) AS DOUBLE) FROM events
+) ORDER BY sheet
+""")
+def workbook_parse_real(sf_dir: str):
+    """S10 end to end on REAL workbook bytes (reference
+    userCode/xlsx/lib.py:33-56 + dag.py fetch-bytes path): the event stream
+    is sharded into 32 actual .xlsx blobs (stdlib zip+XML writer, three
+    sheets each: 'Site Data'/'Metadata'/'Data' like the reference workbook),
+    then a distributed actor-pool WorkbookParser parses + validates every
+    blob back into a tagged row stream, which one grouped pass summarizes.
+    The oracle recomputes each sheet's (count, checksum) from the original
+    events table — so the synthesize->bytes->parse->validate roundtrip must be
+    lossless, including float cells (repr roundtrip)."""
+    from ray.data.aggregate import Count, Sum
+    from ..sources.xlsx import WorkbookParser, encode_xlsx
+    n_blobs = 32  # result-independent fan-out; pinned like pack_documents
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["event_id"], n_blobs - 1), pa.int32())
+        return t.append_column("__blob", b)
+
+    def build_blob(g: pa.Table) -> pa.Table:
+        blob = int(g["__blob"][0].as_py())
+        sheets = {
+            "Site Data": g.select(["event_id", "user_id"]),
+            "Metadata": g.select(["event_id", "event_type"]),
+            "Data": g.select(["event_id", "value"]),
+        }
+        return pa.table({"blob_id": pa.array([blob], pa.int32()),
+                         "payload": pa.array([encode_xlsx(sheets)],
+                                             pa.large_binary())})
+
+    blobs = (ds.map_batches(add_bucket, batch_format="pyarrow")
+               .groupby("__blob")
+               .map_groups(build_blob, batch_format="pyarrow"))
+    declared = {"Site Data": ["event_id", "user_id"],
+                "Metadata": ["event_id", "event_type"],
+                "Data": ["event_id", "value"]}
+    schema = {"event_id": pa.int64(), "user_id": pa.int64(),
+              "event_type": pa.string(), "value": pa.float64()}
+    parsed = blobs.map_batches(
+        WorkbookParser, fn_constructor_kwargs=dict(declared=declared, schema=schema),
+        batch_format="pyarrow", batch_size=1, concurrency=_conc())
+
+    def per_row_checksum(t: pa.Table) -> pa.Table:
+        sheet = t["sheet"].to_numpy(zero_copy_only=False)
+        chk = np.where(sheet == "Data",
+                       t["value"].to_numpy(zero_copy_only=False),
+                       np.where(sheet == "Metadata",
+                                t["event_id"].to_numpy(zero_copy_only=False)
+                                  .astype(np.float64),
+                                t["user_id"].to_numpy(zero_copy_only=False)
+                                  .astype(np.float64)))
+        return pa.table({"sheet": t["sheet"],
+                         "chk": pa.array(chk, pa.float64())})
+
+    res = (parsed.map_batches(per_row_checksum, batch_format="pyarrow")
+                 .groupby("sheet")
+                 .aggregate(Count(alias_name="n_rows"),
+                            Sum("chk", alias_name="checksum"))
+                 .to_pandas())
+    v = res["checksum"].to_numpy()
+    res["checksum"] = np.sign(v) * np.floor(np.abs(v) * 1e4 + 0.5) / 1e4
+    return pa.table({"sheet": pa.array(res["sheet"], pa.string()),
+                     "n_rows": pa.array(res["n_rows"], pa.int64()),
+                     "checksum": pa.array(res["checksum"], pa.float64())})
+
+
 @_q("order_lineitem_nest", """
 SELECT o_orderkey, o_orderdate, CAST(count(*) AS BIGINT) AS n_items,
        array_to_string(list(l_linenumber ORDER BY l_linenumber), '-') AS items_str
