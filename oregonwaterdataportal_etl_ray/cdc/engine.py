@@ -37,6 +37,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+import threading
 from dataclasses import dataclass, field
 
 import pyarrow as pa
@@ -56,6 +57,9 @@ from ..state.manifest import (
 )
 from .merge import NormalizeEvents, drop_tombstones, merge_sorted_runs, reduce_lww
 from .schema import EvolutionSpec, plan_target_schema
+
+# serializes lazy read-plan builds across prefetch threads (see _normalized)
+_PLAN_BUILD_LOCK = threading.Lock()
 
 STATS_SCHEMA = pa.schema([
     ("bucket", pa.int32()), ("epoch", pa.int64()), ("applied", pa.int64()),
@@ -301,7 +305,13 @@ class CdcEngine:
         """
         cpus = int(ray.cluster_resources().get("CPU", 4))
         nblocks = max(1, min(len(files), 4 * cpus))
-        ds = ray.data.read_parquet(files, override_num_blocks=nblocks)
+        # Plan builds may run on prefetch threads; read_parquet's lazy
+        # fsspec-http probe is not thread-safe when aiohttp is absent (the
+        # failed module re-executes on every call and a concurrent first
+        # import raises a plain ImportError Ray does not catch), so builds
+        # are serialized among THEMSELVES — they still overlap execution.
+        with _PLAN_BUILD_LOCK:
+            ds = ray.data.read_parquet(files, override_num_blocks=nblocks)
         return ds.map_batches(
             NormalizeEvents(target_schema=target, num_buckets=self.num_buckets,
                             evolution=self.evolution),
@@ -414,7 +424,8 @@ class CdcEngine:
         TWO epochs' winners are pinned concurrently — size ``epoch_size``
         (the micro-batch knob) for 2x one epoch's winner footprint.
         """
-        import threading
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
         target = self._resolve_schema([f for _, g in todo for f in g], planned)
         records: list[dict] = []
@@ -426,8 +437,27 @@ class CdcEngine:
             except BaseException as e:  # surfaced on join
                 box["err"] = e
 
-        for i, group in todo:
-            norm = self._normalized(group, target).materialize()
+        # Building the lazy read+normalize plan costs ~0.5s of DRIVER time
+        # per epoch (read_parquet fetches every file's footer metadata before
+        # returning) — a cluster-size-independent serial cost that sat on the
+        # critical path. Prefetch the next few epochs' plans in a small
+        # thread pool so metadata fetch overlaps execution; the window is
+        # bounded so a 10^10-event replay with thousands of epochs never
+        # holds more than a handful of unexecuted plans.
+        prefetch = ThreadPoolExecutor(max_workers=2)
+        window: deque = deque()
+        nxt = 0
+
+        def top_up(done_idx: int) -> None:
+            nonlocal nxt
+            while nxt < len(todo) and nxt < done_idx + 4:
+                window.append(
+                    prefetch.submit(self._normalized, todo[nxt][1], target))
+                nxt += 1
+
+        for j, (i, group) in enumerate(todo):
+            top_up(j)
+            norm = window.popleft().result().materialize()
             if prev is not None:
                 prev[0].join()
                 if "err" in prev[1]:
@@ -443,6 +473,7 @@ class CdcEngine:
             if "err" in prev[1]:
                 raise prev[1]["err"]
             records.append(prev[1]["rec"])
+        prefetch.shutdown(wait=False)
         return records
 
     def tail(self, events_dir: str, epoch_size: int = 1,
