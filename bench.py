@@ -56,6 +56,7 @@ BATTERY = [
     "token_explode",
     "multi_format_dates",
     "workbook_split",
+    "workbook_parse_real",
     "order_lineitem_nest",
     "embedding_near_dup",
     "embedding_near_dup_lsh",
@@ -120,6 +121,38 @@ def ensure_events(n_events: int) -> list[str]:
     with open(marker, "w") as f:
         f.write(str(meta["n_delivered"]))
     return meta["files"]
+
+
+def host_probe_efficiency(lo: int, hi: int, n_files: int = 256) -> dict:
+    """Out-of-Ray host-condition probe: N independent processes each decode
+    distinct Parquet files with single-threaded Arrow. On a quiet host this
+    scales near-linearly lo->hi; a co-tenant saturating memory/decompression
+    bandwidth caps it — and caps ANY engine measured at the same moment.
+    Reported next to the scaling number so the measurement carries its
+    environmental context (measured range on this VM: 0.61-0.97 same day)."""
+    from multiprocessing import Process
+
+    files = ensure_events(SCALING_EVENTS)[:n_files]
+
+    def worker(paths):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        pa.set_cpu_count(1)
+        for f in paths:
+            pq.read_table(f)
+
+    def run(nw: int) -> float:
+        ps = [Process(target=worker, args=(files[i::nw],)) for i in range(nw)]
+        t0 = time.time()
+        for p in ps:
+            p.start()
+        for p in ps:
+            p.join()
+        return time.time() - t0
+
+    t_lo, t_hi = run(lo), run(hi)
+    return {"probe_sec_lo": round(t_lo, 2), "probe_sec_hi": round(t_hi, 2),
+            "host_probe_efficiency": round((t_lo / t_hi) / (hi / lo), 3)}
 
 
 def _warmup_cluster():
@@ -230,7 +263,9 @@ def main() -> None:
                 runs[cpus].append(json.loads(out.stdout.strip().splitlines()[-1]))
         best = {c: max(r["events_per_sec"] for r in rs) for c, rs in runs.items()}
         eff = (best[hi] / best[lo]) / (hi / lo)
+        probe = host_probe_efficiency(lo, hi)
         print(json.dumps({
+            **probe,
             "metric": f"CDC replay scaling efficiency N={lo} -> 4N={hi} CPUs "
                       "(best of repeats; fresh process per run, same input)",
             "value": round(eff, 3), "unit": "efficiency",

@@ -1424,14 +1424,12 @@ def entity_graph_write(sf_dir: str):
 
     users_back = ray.data.read_parquet(f"{out}/users")
     ev_back = ray.data.read_parquet(f"{out}/events")
-    n_users = users_back.count()
-    n_events = ev_back.count()
 
     # Distributed exact orphan check: co-partition BOTH sides on a bucket of
     # the FK, anti-join inside each bucket. The parent side never reaches the
     # driver (at 100x the distinct-parent set is no longer a "small side");
-    # the shuffle moves (user_id, side) pairs only, and the driver receives a
-    # per-bucket orphan count.
+    # the shuffle moves (user_id, side) pairs only. Parent/child row counts
+    # ride the same grouped pass — ONE execution, not three.
     nb = derived_num_buckets()
 
     def tag(side: int):
@@ -1447,20 +1445,23 @@ def entity_graph_write(sf_dir: str):
     tagged = users_back.map_batches(tag(0), batch_format="pyarrow").union(
         ev_back.select_columns(["user_id"]).map_batches(tag(1), batch_format="pyarrow"))
 
-    def count_orphans(g: pa.Table) -> pa.Table:
+    def bucket_stats(g: pa.Table) -> pa.Table:
         side = g["__side"].to_numpy(zero_copy_only=False)
         uid = g["user_id"].to_numpy(zero_copy_only=False)
-        n = int(np.sum(~np.isin(uid[side == 1], uid[side == 0])))
-        return pa.table({"n": pa.array([n], pa.int64())})
+        parents, children = uid[side == 0], uid[side == 1]
+        n_orphan = int(np.sum(~np.isin(children, parents)))
+        return pa.table({"n_users": pa.array([len(parents)], pa.int64()),
+                         "n_events": pa.array([len(children)], pa.int64()),
+                         "n_orphans": pa.array([n_orphan], pa.int64())})
 
-    orphans = int(tagged.groupby("__bucket")
-                        .map_groups(count_orphans, batch_format="pyarrow")
-                        .sum("n"))
+    st = (tagged.groupby("__bucket")
+                .map_groups(bucket_stats, batch_format="pyarrow")
+                .to_pandas())
     import shutil
     shutil.rmtree(out, ignore_errors=True)   # scratch sink — don't leak /tmp
-    return pa.table({"n_users": pa.array([n_users], pa.int64()),
-                     "n_events": pa.array([n_events], pa.int64()),
-                     "n_orphans": pa.array([orphans], pa.int64())})
+    return pa.table({"n_users": pa.array([int(st["n_users"].sum())], pa.int64()),
+                     "n_events": pa.array([int(st["n_events"].sum())], pa.int64()),
+                     "n_orphans": pa.array([int(st["n_orphans"].sum())], pa.int64())})
 
 
 @_q("multimodal_payload_stats", """
