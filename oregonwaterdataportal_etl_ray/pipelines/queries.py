@@ -1520,6 +1520,43 @@ def image_decode_real(sf_dir: str):
     return out.select_columns(["doc_id", "height", "width", "mean_intensity"])
 
 
+@_q("jpeg_decode_real", """
+SELECT doc_id,
+       CAST(16 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) % 16
+            AS INTEGER) AS height,
+       CAST(16 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) % 16
+            AS INTEGER) AS width,
+       CAST(concat('0x', substr(md5(text), 5, 2)) AS INTEGER) / 255.0
+           AS mean_intensity
+FROM documents
+""")
+def jpeg_decode_real(sf_dir: str):
+    """REAL JPEG decode, oracle-checked end to end (same law as
+    image_decode_real, but through the baseline JPEG entropy/DCT path of
+    stages/jpegcodec.py): a flat-fill image is exact through JPEG — the DC
+    coefficient carries the fill value losslessly — so the decoded
+    (height, width, mean) equals the oracle's md5-byte arithmetic."""
+    from ..stages.jpegcodec import encode_jpeg
+    from ..stages.multimodal import ImageDecoder
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synthesize(t: pa.Table) -> pa.Table:
+        hexes = md5_hex(pc.fill_null(t["text"], "")).to_pylist()
+        payloads = []
+        for hx in hexes:
+            d = bytes.fromhex(hx[:6])
+            h, w, v = 16 + d[0] % 16, 16 + d[1] % 16, d[2]
+            payloads.append(encode_jpeg(np.full((h, w), v, dtype=np.uint8)))
+        return pa.table({"doc_id": t["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    as_img = ds.map_batches(synthesize, batch_format="pyarrow", batch_size=64)
+    out = as_img.map_batches(ImageDecoder, fn_constructor_kwargs=dict(),
+                             batch_format="pyarrow", batch_size=64,
+                             concurrency=_conc())
+    return out.select_columns(["doc_id", "height", "width", "mean_intensity"])
+
+
 @_q("multimodal_decode", """
 SELECT doc_id,
        CAST(16 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) % 64

@@ -154,10 +154,13 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 def sniff_and_decode(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch. Raises NotImplementedError for formats with no
-    pure-python decoder here (JPEG, ...)."""
+    pure-python decoder here (video, progressive JPEG, ...)."""
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
     if payload[:2] == BMP_MAGIC:
         return decode_bmp(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from .jpegcodec import decode_jpeg
+        return decode_jpeg(payload)
     raise NotImplementedError("no pure-python decoder for this format "
                               "(plug PIL/ffmpeg into ImageDecoder in deployment)")

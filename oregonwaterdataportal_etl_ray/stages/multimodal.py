@@ -1,11 +1,13 @@
 """Multimodal (image/audio/video) stages — opaque binary columns + typed metadata.
 
-Image decode is REAL for BMP (BI_RGB 24-bit) and PNG (8-bit gray/RGB/RGBA,
+Image decode is REAL for BMP (BI_RGB 24-bit), PNG (8-bit gray/RGB/RGBA,
 filters None/Sub/Up vectorized, Average/Paeth per-scanline) via the
-pure-numpy+zlib codec in :mod:`.imagecodec` — no external image libraries
-needed. ``ImageDecoder`` sniffs the magic bytes and emits (height, width,
-channels, mean_intensity). Formats without a pure-python decoder in this
-container (JPEG, video) remain STUBBED: ``FakeDecoder`` produces
+pure-numpy+zlib codec in :mod:`.imagecodec`, and baseline JPEG (sequential
+DCT incl. chroma subsampling + restart intervals, :mod:`.jpegcodec`) — no
+external image libraries needed. ``ImageDecoder`` sniffs the magic bytes and
+emits (height, width, channels, mean_intensity). Formats without a
+pure-python decoder here (video, progressive JPEG) remain STUBBED:
+``FakeDecoder`` produces
 deterministic pseudo-features so the Ray-side plumbing — schema, small
 batch sizes for large payloads, actor-pool signature, output layout — is
 real and tested; swap in PIL/ffmpeg in deployment, nothing else changes.

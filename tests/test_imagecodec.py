@@ -138,8 +138,12 @@ def test_sniff_dispatch_and_unknown_raises():
     img = _img(3, 3, 3)
     assert np.array_equal(sniff_and_decode(encode_bmp(img)), img)
     assert np.array_equal(sniff_and_decode(encode_png(img)), img)
-    with pytest.raises(NotImplementedError):
+    # JPEG now has a real decoder: truncated jpeg-ish bytes are CORRUPT
+    # (ValueError), while a format with no decoder stays NotImplementedError
+    with pytest.raises(ValueError):
         sniff_and_decode(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with pytest.raises(NotImplementedError):
+        sniff_and_decode(b"GIF89a no decoder here")
 
 
 def test_image_decoder_stage_real_and_tolerant():
