@@ -1492,61 +1492,28 @@ FROM documents
 """)
 def image_decode_real(sf_dir: str):
     """REAL image decode, oracle-checked end to end: each document's content
-    hash deterministically synthesizes a gray PNG (h, w, fill value from the
-    first md5 bytes), which the pure-numpy ImageDecoder then decodes back in
-    an actor-pool stage — so the decoded (height, width, mean) must equal
-    the md5-byte arithmetic the oracle computes in SQL. Exercises the whole
-    encode->binary-column->decode path distributed, not just in unit tests."""
+    hash deterministically synthesizes a flat gray image (h, w, fill value
+    from the first md5 bytes) — encoded as PNG or baseline JPEG depending on
+    the hash's parity bit, so BOTH real codecs are exercised through the
+    same distributed path (a flat fill is exact through JPEG's DC-only
+    representation). The pure-numpy ImageDecoder sniffs and decodes each
+    payload back in an actor-pool stage, so the decoded (height, width,
+    mean) must equal the md5-byte arithmetic the oracle computes in SQL."""
     from ..stages.imagecodec import encode_png
-    from ..stages.multimodal import ImageDecoder
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def synthesize(t: pa.Table) -> pa.Table:
-        # md5s batched via the zero-copy digest kernel; only the PNG bytes
-        # (inherently per-payload) are built in the loop
-        hexes = md5_hex(pc.fill_null(t["text"], "")).to_pylist()
-        payloads = []
-        for hx in hexes:
-            d = bytes.fromhex(hx[:6])
-            h, w, v = 16 + d[0] % 16, 16 + d[1] % 16, d[2]
-            payloads.append(encode_png(np.full((h, w), v, dtype=np.uint8)))
-        return pa.table({"doc_id": t["doc_id"],
-                         "payload": pa.array(payloads, pa.binary())})
-
-    as_img = ds.map_batches(synthesize, batch_format="pyarrow", batch_size=64)
-    out = as_img.map_batches(ImageDecoder, fn_constructor_kwargs=dict(),
-                             batch_format="pyarrow", batch_size=64,
-                             concurrency=_conc())
-    return out.select_columns(["doc_id", "height", "width", "mean_intensity"])
-
-
-@_q("jpeg_decode_real", """
-SELECT doc_id,
-       CAST(16 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) % 16
-            AS INTEGER) AS height,
-       CAST(16 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) % 16
-            AS INTEGER) AS width,
-       CAST(concat('0x', substr(md5(text), 5, 2)) AS INTEGER) / 255.0
-           AS mean_intensity
-FROM documents
-""")
-def jpeg_decode_real(sf_dir: str):
-    """REAL JPEG decode, oracle-checked end to end (same law as
-    image_decode_real, but through the baseline JPEG entropy/DCT path of
-    stages/jpegcodec.py): a flat-fill image is exact through JPEG — the DC
-    coefficient carries the fill value losslessly — so the decoded
-    (height, width, mean) equals the oracle's md5-byte arithmetic."""
     from ..stages.jpegcodec import encode_jpeg
     from ..stages.multimodal import ImageDecoder
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def synthesize(t: pa.Table) -> pa.Table:
+        # md5s batched via the zero-copy digest kernel; only the image bytes
+        # (inherently per-payload) are built in the loop
         hexes = md5_hex(pc.fill_null(t["text"], "")).to_pylist()
         payloads = []
         for hx in hexes:
-            d = bytes.fromhex(hx[:6])
+            d = bytes.fromhex(hx[:8])
             h, w, v = 16 + d[0] % 16, 16 + d[1] % 16, d[2]
-            payloads.append(encode_jpeg(np.full((h, w), v, dtype=np.uint8)))
+            enc = encode_png if d[3] % 2 == 0 else encode_jpeg
+            payloads.append(enc(np.full((h, w), v, dtype=np.uint8)))
         return pa.table({"doc_id": t["doc_id"],
                          "payload": pa.array(payloads, pa.binary())})
 
