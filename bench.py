@@ -123,7 +123,8 @@ def ensure_events(n_events: int) -> list[str]:
     return meta["files"]
 
 
-def host_probe_efficiency(lo: int, hi: int, n_files: int = 256) -> dict:
+def host_probe_efficiency(lo: int, hi: int, n_events: int,
+                          n_files: int = 256) -> dict:
     """Out-of-Ray host-condition probe: N independent processes each decode
     distinct Parquet files with single-threaded Arrow. On a quiet host this
     scales near-linearly lo->hi; a co-tenant saturating memory/decompression
@@ -132,7 +133,7 @@ def host_probe_efficiency(lo: int, hi: int, n_files: int = 256) -> dict:
     environmental context (measured range on this VM: 0.61-0.97 same day)."""
     from multiprocessing import Process
 
-    files = ensure_events(SCALING_EVENTS)[:n_files]
+    files = ensure_events(n_events)[:n_files]
 
     def worker(paths):
         import pyarrow as pa
@@ -263,7 +264,7 @@ def main() -> None:
                 runs[cpus].append(json.loads(out.stdout.strip().splitlines()[-1]))
         best = {c: max(r["events_per_sec"] for r in rs) for c, rs in runs.items()}
         eff = (best[hi] / best[lo]) / (hi / lo)
-        probe = host_probe_efficiency(lo, hi)
+        probe = host_probe_efficiency(lo, hi, args.events)
         print(json.dumps({
             **probe,
             "metric": f"CDC replay scaling efficiency N={lo} -> 4N={hi} CPUs "

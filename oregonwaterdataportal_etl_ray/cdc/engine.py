@@ -455,26 +455,29 @@ class CdcEngine:
                     prefetch.submit(self._normalized, todo[nxt][1], target))
                 nxt += 1
 
-        for j, (i, group) in enumerate(todo):
-            top_up(j)
-            norm = window.popleft().result().materialize()
+        try:
+            for j, (i, group) in enumerate(todo):
+                top_up(j)
+                norm = window.popleft().result().materialize()
+                if prev is not None:
+                    prev[0].join()
+                    if "err" in prev[1]:
+                        raise prev[1]["err"]
+                    records.append(prev[1]["rec"])
+                box: dict = {}
+                th = threading.Thread(target=run_merge, args=(norm, group, i, box),
+                                      daemon=True)
+                th.start()
+                prev = (th, box)
             if prev is not None:
                 prev[0].join()
                 if "err" in prev[1]:
                     raise prev[1]["err"]
                 records.append(prev[1]["rec"])
-            box: dict = {}
-            th = threading.Thread(target=run_merge, args=(norm, group, i, box),
-                                  daemon=True)
-            th.start()
-            prev = (th, box)
-        if prev is not None:
-            prev[0].join()
-            if "err" in prev[1]:
-                raise prev[1]["err"]
-            records.append(prev[1]["rec"])
-        prefetch.shutdown(wait=False)
-        return records
+            return records
+        finally:
+            # error path too: don't leak queued plan builds past the raise
+            prefetch.shutdown(wait=False, cancel_futures=True)
 
     def tail(self, events_dir: str, epoch_size: int = 1,
              poll_interval_s: float = 1.0, max_idle_polls: int = 5,

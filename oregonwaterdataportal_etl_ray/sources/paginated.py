@@ -82,9 +82,16 @@ def paginated_dataset(count_fn: Callable[[], int],
     pages = ray.data.from_items(specs)
 
     def parse_batch(batch: pa.Table) -> pa.Table:
-        tables = [parse_page(p)
-                  for p in batch["payload"].to_pylist() if p is not None]
-        tables = [t for t in tables if t.num_rows]
+        payloads = batch["payload"].to_pylist()
+        dead = [k for k, p in zip(batch["page_key"].to_pylist(), payloads)
+                if p is None]
+        if dead:
+            # fail loud: CachedFetchStage passes a None (absent/corrupt)
+            # payload through — silently dropping the page would lose
+            # page_size rows with no signal
+            raise ValueError(f"{len(dead)} page fetches returned no payload "
+                             f"(first: {dead[0]!r})")
+        tables = [t for t in map(parse_page, payloads) if t.num_rows]
         if not tables:
             return pa.table({})
         return pa.concat_tables(tables, promote_options="permissive")

@@ -33,7 +33,7 @@ import io
 import re
 import zipfile
 from xml.etree import ElementTree
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 import numpy as np
 import pyarrow as pa
@@ -129,7 +129,7 @@ def encode_xlsx(sheets: dict[str, pa.Table]) -> bytes:
         '2006/main" xmlns:r="http://schemas.openxmlformats.org/'
         'officeDocument/2006/relationships"><sheets>'
         + "".join(
-            f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            f'<sheet name={quoteattr(n)} sheetId="{i + 1}" r:id="rId{i + 1}"/>'
             for i, n in enumerate(names))
         + "</sheets></workbook>")
     wb_rels = (
@@ -211,6 +211,15 @@ def parse_xlsx_bytes(data: bytes) -> dict[str, pa.Table]:
         z = zipfile.ZipFile(io.BytesIO(data))
     except zipfile.BadZipFile as e:
         raise ValueError(f"not an xlsx payload: {e}") from e
+    try:
+        return _parse_open_workbook(z)
+    except (ElementTree.ParseError, KeyError, IndexError) as e:
+        # malformed XML / missing parts inside a valid zip: same corrupt-
+        # payload contract as a bad zip (ValueError), never a raw ParseError
+        raise ValueError(f"corrupt xlsx payload: {e}") from e
+
+
+def _parse_open_workbook(z: zipfile.ZipFile) -> dict[str, pa.Table]:
     with z:
         names = set(z.namelist())
         shared: list[str] = []
@@ -250,8 +259,19 @@ def parse_xlsx_bytes(data: bytes) -> dict[str, pa.Table]:
             if not rows:
                 out[sheet.get("name", f"Sheet{sheet_no}")] = pa.table({})
                 continue
-            header = [str(h) if h is not None else f"col{i}"
-                      for i, h in enumerate(rows[0] + [None] * (width - len(rows[0])))]
+            raw_header = rows[0] + [None] * (width - len(rows[0]))
+            header: list[str] = []
+            seen: set[str] = set()
+            for i, hd in enumerate(raw_header):
+                name = str(hd) if hd is not None else f"col{i}"
+                # dirty sheets repeat headers; disambiguate pandas-style
+                # instead of silently keeping only the last duplicate column
+                k, base = 1, name
+                while name in seen:
+                    name = f"{base}.{k}"
+                    k += 1
+                seen.add(name)
+                header.append(name)
             cols = {h: _column_array(
                 [r[i] if i < len(r) else None for r in rows[1:]])
                 for i, h in enumerate(header)}
