@@ -1549,6 +1549,148 @@ def multimodal_decode(sf_dir: str):
 
 
 # ===========================================================================
+# graph clustering / corpus curation round 2 (dedup clusters, vocab, strata)
+# ===========================================================================
+
+@_q("dup_cluster_assign", """
+WITH g AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY lang, source) AS n,
+         min(doc_id) OVER (PARTITION BY lang, source) AS component
+  FROM documents)
+SELECT doc_id, component FROM g WHERE n > 1
+""")
+def dup_cluster_assign(sf_dir: str):
+    """Distributed connected components driven end-to-end: chain edges link
+    consecutive doc_ids within each (lang, source) group, so a group of k
+    docs is a path of diameter k-1 — the hard case for label propagation,
+    resolved by stages/graph.py's contracting CC in O(log) rounds. The
+    oracle is the group-min window (a path's component is its min node)."""
+    from ..stages.graph import connected_components
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def chain_pairs(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column("doc_id").to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        return pa.table({"id_a": ids[:-1], "id_b": ids[1:]})
+
+    edges = ds.groupby(["lang", "source"]).map_groups(chain_pairs,
+                                                      batch_format="pyarrow")
+    cc = connected_components(edges)
+    return cc.rename_columns({"node": "doc_id"})
+
+
+@_q("vocab_topk", """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM toks GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
+""")
+def vocab_topk(sf_dir: str):
+    """Vocabulary building (training-data op): global top-100 terms by term
+    frequency, with document frequency. Map-side partial aggregation: each
+    batch emits one (term, tf, df) row per distinct term — docs never span
+    batches, so per-batch distinct (doc, term) counts are an exact df
+    partial — and only the shrunken term table goes through the one
+    groupby-sum shuffle. Sort+limit runs on the aggregated (vocab-sized)
+    table, not the token stream."""
+    from ray.data.aggregate import Sum
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(t["text"]))
+        t2 = pa.table({"doc_id": t["doc_id"], "text": trimmed}) \
+               .filter(pc.not_equal(trimmed, ""))
+        toks = pc.split_pattern_regex(t2["text"], r"\s+")
+        parents = pc.list_parent_indices(toks)
+        df = pd.DataFrame({
+            "doc": pc.take(t2["doc_id"], parents).to_numpy(zero_copy_only=False),
+            "term": pc.list_flatten(toks).to_pandas()})
+        tf = df.groupby("term").size()
+        dfreq = df.drop_duplicates(["doc", "term"]).groupby("term").size()
+        return pa.table({"term": tf.index.to_numpy(object),
+                         "tf": tf.to_numpy(np.int64),
+                         "df": dfreq.reindex(tf.index).to_numpy(np.int64)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("term")
+             .aggregate(Sum("tf", alias_name="tf"), Sum("df", alias_name="df")))
+    return agg.sort(key=["tf", "term"], descending=[True, False]).limit(100)
+
+
+@_q("stratified_sample", """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(text), 1, 2) <
+      CASE lang WHEN 'en' THEN '20' WHEN 'zh' THEN 'c0' ELSE '80' END
+""")
+def stratified_sample(sf_dir: str):
+    """Stratified deterministic sampling (corpus rebalancing op): per-lang
+    keep rates via a content-hash threshold — downsample the dominant
+    language (en ~12.5%), upsample-by-keeping the rare one (zh ~75%),
+    ~50% elsewhere. Same partitioning-stability law as
+    sample_by_content_hash: membership depends only on content, never on
+    cluster width or block layout; one vectorized compare per batch against
+    a broadcast-in-closure threshold table."""
+    thresholds = {"en": "20", "zh": "c0"}
+    default = "80"
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        prefix = pc.utf8_slice_codeunits(md5_hex(t["text"]), 0, 2)
+        lang = t["lang"].to_pandas()
+        cut = pa.array(lang.map(thresholds).fillna(default))
+        return t.filter(pc.less(prefix, cut)).select(["doc_id", "lang"])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@_q("near_dup_clusters")
+def near_dup_clusters(sf_dir: str):
+    """Fuzzy-dedup clustering: minhash/LSH candidate pairs (memoized stage)
+    -> distributed connected components -> one row per duplicate cluster
+    (component id, member count). Rows-only: the pair set is LSH-approximate;
+    the planted-duplicate clustering law is pinned in pytest."""
+    from ..stages.graph import connected_components
+    pairs = _minhash_pairs_cached(sf_dir)
+    if not pairs.num_rows:
+        return pa.table({"component": pa.array([], pa.int64()),
+                         "n_members": pa.array([], pa.int64())})
+    cc = connected_components(ray.data.from_arrow(
+        pairs.select(["id_a", "id_b"])))
+    from ray.data.aggregate import Count
+    return (cc.groupby("component").aggregate(Count(alias_name="n_members"))
+              .sort("component"))
+
+
+@_q("fuzzy_dedup_corpus")
+def fuzzy_dedup_corpus(sf_dir: str):
+    """End-to-end fuzzy dedup (the flagship LLM-curation composition):
+    near-dup pairs -> connected components -> drop every non-canonical
+    cluster member (component min survives) -> per-lang corpus stats of the
+    deduplicated corpus. The removal set is cluster-members-minus-one
+    (output-sized); the corpus filter is a distributed membership filter,
+    so the full corpus is never collected."""
+    from ray.data.aggregate import Count, Sum
+    from ..stages.graph import connected_components
+    pairs = _minhash_pairs_cached(sf_dir)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    if pairs.num_rows:
+        cc = connected_components(ray.data.from_arrow(
+            pairs.select(["id_a", "id_b"]))).to_pandas()
+        removed = cc.loc[cc["node"] != cc["component"], "node"].to_numpy(np.int64)
+        ds = ds.map_batches(MembershipFilter(removed, col="doc_id", keep=False),
+                            batch_format="pyarrow")
+    return (ds.groupby("lang")
+              .aggregate(Count(alias_name="n_docs"),
+                         Sum("n_chars", alias_name="total_chars"))
+              .sort("lang"))
+
+
+# ===========================================================================
 # flagship pipeline (entry())
 # ===========================================================================
 
