@@ -73,6 +73,11 @@ BATTERY = [
     "langid_pred",
     "minhash_near_dup",
     "simhash_near_dup",
+    "dup_cluster_assign",
+    "near_dup_clusters",
+    "fuzzy_dedup_corpus",
+    "vocab_topk",
+    "stratified_sample",
     "embedding_norms",
     "ann_topk",
     "multimodal_decode",
