@@ -24,12 +24,38 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """Oracle-backed queries first (the driver checks a bounded prefix of
     this dict; rows-only approximate families go last so every query with an
-    oracle gets the full rows+schema+hash gate)."""
+    oracle gets the full rows+schema+hash gate). Within the oracle-backed
+    block, queries with no passing row in the latest CORRECTNESS_r*.json run
+    first — round-robin verification so a bounded driver window still covers
+    every oracle across rounds."""
     from oregonwaterdataportal_etl_ray.pipelines import ORACLE_SQL, QUERIES
 
-    ordered = {k: v for k, v in QUERIES.items() if k in ORACLE_SQL}
+    verified = _previously_verified()
+    oracle_backed = [k for k in QUERIES if k in ORACLE_SQL]
+    oracle_backed.sort(key=lambda k: k in verified)  # stable: unverified first
+    ordered = {k: QUERIES[k] for k in oracle_backed}
     ordered.update({k: v for k, v in QUERIES.items() if k not in ORACLE_SQL})
     return ordered
+
+
+def _previously_verified() -> set[str]:
+    """Names with a fully-passing row in the newest CORRECTNESS_r*.json."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    if not files:
+        return set()
+    try:
+        with open(files[-1]) as f:
+            rows = json.load(f)
+        return {name for name, r in rows.items()
+                if r.get("rows_match") and r.get("schema_match")
+                and r.get("hash_match")}
+    except (OSError, ValueError, AttributeError):
+        return set()
 
 
 def oracle_sql() -> dict[str, str]:
