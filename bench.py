@@ -78,6 +78,7 @@ BATTERY = [
     "fuzzy_dedup_corpus",
     "vocab_topk",
     "stratified_sample",
+    "benchmark_decontaminate",
     "embedding_norms",
     "ann_topk",
     "multimodal_decode",

@@ -1690,6 +1690,74 @@ def fuzzy_dedup_corpus(sf_dir: str):
               .sort("lang"))
 
 
+@_q("benchmark_decontaminate", r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+grams AS (
+  SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ')
+                         for i in range(1, len(t) - 1)]) AS g
+  FROM toks
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+SELECT d.doc_id, count(DISTINCT d.g) AS n_hits
+FROM grams d JOIN bench b USING (g)
+WHERE d.doc_id % 97 <> 0
+GROUP BY d.doc_id
+""")
+def benchmark_decontaminate(sf_dir: str):
+    """Benchmark decontamination (train/eval overlap detection, cf. the
+    n-gram overlap filters described publicly in the GPT-3 and PaLM papers):
+    flag every training document sharing any token 3-gram with the benchmark
+    set (here the deterministic doc_id%97 slice standing in for an eval
+    suite). Scale shape: the benchmark gram set is eval-suite-sized — built
+    by ONE Ray task from a pruned read and broadcast via ray.put — while the
+    training side streams through a vectorized n-gram kernel + hash-set
+    membership check per batch; no shuffle at all (each row is one doc, so
+    per-doc distinct-hit counts are exact within a batch)."""
+    from ..stages.text import token_ngrams
+
+    @ray.remote
+    def bench_grams() -> set:
+        refs = read_table(sf_dir, "documents",
+                          columns=["doc_id", "text"]).to_arrow_refs()
+        out: set = set()
+        for ref in refs:
+            tbl = ray.get(ref)
+            ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+            sub = tbl.filter(pa.array(ids % 97 == 0))
+            _, grams = token_ngrams(sub["text"], n=3)
+            out.update(grams.tolist())
+        return out
+
+    gref = ray.put(ray.get(bench_grams.remote()))
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    class Check:
+        def __init__(self):
+            self.grams = ray.get(gref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            keep = ids % 97 != 0
+            sub = t.filter(pa.array(keep))
+            doc_idx, grams = token_ngrams(sub["text"], n=3)
+            hit = pd.Series(grams, copy=False).isin(self.grams).to_numpy()
+            if not hit.any():
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "n_hits": pa.array([], pa.int64())})
+            df = pd.DataFrame({"i": doc_idx[hit], "g": grams[hit]})
+            per = df.drop_duplicates().groupby("i").size()
+            sub_ids = sub["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table({"doc_id": sub_ids[per.index.to_numpy()],
+                             "n_hits": per.to_numpy(np.int64)})
+
+    lo, hi = _conc()
+    return ds.map_batches(Check, concurrency=(lo, hi), batch_size=2048,
+                          batch_format="pyarrow")
+
+
 # ===========================================================================
 # flagship pipeline (entry())
 # ===========================================================================

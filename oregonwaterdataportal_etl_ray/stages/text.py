@@ -11,6 +11,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -190,3 +191,43 @@ class RollingFingerprints:
                                             pa.array(v, pa.uint64()))
         return batch.append_column("fingerprints",
                                    arr.cast(pa.list_(pa.uint64())))
+
+
+# ---------------------------------------------------------------------------
+# token n-grams — benchmark decontamination kernel
+# ---------------------------------------------------------------------------
+
+def token_ngrams(col: "pa.ChunkedArray | pa.Array", n: int = 3
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized token n-grams over a string column: lowercase, trim, split
+    on whitespace, join each run of ``n`` consecutive tokens with a single
+    space. Returns ``(doc_idx, grams)`` — the row index each gram came from
+    and the gram strings. Rows with fewer than ``n`` tokens (or blank text)
+    emit nothing. Exactly mirrors the SQL
+    ``array_to_string(t[i:i+n-1], ' ')`` oracle so contamination checks are
+    hash-comparable.
+
+    Used by the decontamination pipeline (cf. the training-set n-gram overlap
+    filters described publicly in the GPT-3 and PaLM papers): the benchmark
+    side is eval-suite-sized, so its gram set broadcasts; the training side
+    streams through this kernel batch by batch and never shuffles."""
+    trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(col))
+    mask = pc.not_equal(trimmed, "")
+    toks = pc.split_pattern_regex(trimmed.filter(mask) if hasattr(trimmed, "filter")
+                                  else pc.filter(trimmed, mask), r"\s+")
+    row_map = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten().to_numpy(zero_copy_only=False)  # object array
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    if len(flat) < n:
+        return np.empty(0, np.int64), np.empty(0, object)
+    # gram start positions where all n tokens share a parent row
+    valid = parents[: len(parents) - n + 1] == parents[n - 1:]
+    starts = np.flatnonzero(valid)
+    if not len(starts):
+        return np.empty(0, np.int64), np.empty(0, object)
+    s = pd.Series(flat[starts], copy=False)
+    for j in range(1, n):
+        s = s + " " + pd.Series(flat[starts + j], copy=False)
+    return row_map[parents[starts]], s.to_numpy()

@@ -3,6 +3,7 @@ golden values for hashes/ids, first/last-wins dedup, near-dup detection on
 planted duplicates, ANN on planted neighbors, multimodal stub plumbing."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pytest
@@ -370,3 +371,34 @@ def test_ngram_pair_verifier_matches_scalar_reference(ray_session):
     for (a, b), jac in zip(pairs, got["jaccard"].to_pylist()):
         assert jac == pytest.approx(exact_ngram_jaccard(texts[a], texts[b], k=5))
     assert got["jaccard"].to_pylist()[3] == 1.0   # identical short docs
+
+
+def test_token_ngrams_matches_scalar_reference():
+    from oregonwaterdataportal_etl_ray.stages.text import token_ngrams
+    texts = ["The quick  brown fox", "a b", "", "   ", "x y z x y z",
+             "ONE two THREE four"]
+    col = pa.chunked_array([pa.array(texts[:3]), pa.array(texts[3:])])
+    doc_idx, grams = token_ngrams(col, n=3)
+
+    def scalar(s):
+        t = s.strip().lower().split()
+        return [" ".join(t[i:i + 3]) for i in range(len(t) - 2)]
+
+    expect = [(i, g) for i, s in enumerate(texts) for g in scalar(s)]
+    assert list(zip(doc_idx.tolist(), grams.tolist())) == expect
+    # rows with <3 tokens or blank text emit nothing
+    assert 1 not in doc_idx and 2 not in doc_idx and 3 not in doc_idx
+
+
+def test_benchmark_decontaminate_flags_planted_overlap(ray_session, tmp_path):
+    import duckdb
+    from oregonwaterdataportal_etl_ray.pipelines.queries import QUERIES, ORACLE_SQL
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["benchmark_decontaminate"](sf).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.sql(ORACLE_SQL["benchmark_decontaminate"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype({"n_hits": "int64"}), 
+                                  want.astype({"n_hits": "int64"}))
