@@ -83,6 +83,7 @@ BATTERY = [
     "ann_topk",
     "multimodal_decode",
     "image_decode_real",
+    "audio_decode_real",
 ]
 
 

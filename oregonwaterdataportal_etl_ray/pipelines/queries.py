@@ -1690,6 +1690,51 @@ def fuzzy_dedup_corpus(sf_dir: str):
               .sort("lang"))
 
 
+@_q("audio_decode_real", """
+SELECT doc_id,
+       CAST(1000 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) * 16
+            AS DOUBLE)
+       / (CASE WHEN CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) % 2 = 0
+               THEN 8000 ELSE 16000 END) AS duration_s,
+       CAST(CASE WHEN CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) % 2 = 0
+                 THEN 8000 ELSE 16000 END AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels
+FROM documents
+""")
+def audio_decode_real(sf_dir: str):
+    """REAL audio decode, oracle-checked end to end: each document's content
+    hash deterministically synthesizes a sine waveform (length and rate from
+    the first md5 bytes) — encoded as plain 16-bit PCM WAV or IMA ADPCM
+    (4-bit COMPRESSED) depending on the hash's parity bit, so both the
+    uncompressed and the compressed real codec run through the same
+    distributed actor-pool path. The decoded (duration, rate, channels) are
+    exactly header/fact-chunk-recoverable, so they must equal the md5-byte
+    arithmetic the oracle computes in SQL; the lossy side (ADPCM waveform
+    SNR) is pinned in pytest, not here."""
+    from ..stages.audiocodec import AudioFeatures, encode_adpcm_wav, encode_wav
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synthesize(t: pa.Table) -> pa.Table:
+        hexes = md5_hex(pc.fill_null(t["text"], "")).to_pylist()
+        payloads = []
+        for hx in hexes:
+            d = bytes.fromhex(hx[:8])
+            n = 1000 + d[0] * 16
+            rate = 8000 if d[1] % 2 == 0 else 16000
+            x = (8000.0 * np.sin(2 * np.pi * (100 + d[2] * 4)
+                                 * np.arange(n) / rate)).astype(np.int16)
+            enc = encode_wav if d[3] % 2 == 0 else encode_adpcm_wav
+            payloads.append(enc(x, rate))
+        return pa.table({"doc_id": t["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    as_wav = ds.map_batches(synthesize, batch_format="pyarrow", batch_size=64)
+    out = as_wav.map_batches(AudioFeatures, fn_constructor_kwargs=dict(),
+                             batch_format="pyarrow", batch_size=64,
+                             concurrency=_conc())
+    return out.select_columns(["doc_id", "duration_s", "sample_rate", "channels"])
+
+
 @_q("benchmark_decontaminate", r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t

@@ -221,3 +221,53 @@ def test_audio_features_in_ray_pipeline(ray_session):
                          batch_format="pyarrow", batch_size=3,
                          concurrency=2).to_pandas().sort_values("doc_id")
     assert np.allclose(out["duration_s"], [(i + 1) * 0.1 for i in range(10)])
+
+
+def test_adpcm_roundtrip_snr_and_conformance():
+    """IMA ADPCM: round-trip SNR on a real waveform, bit-exact agreement of
+    the vectorized block decoder with stdlib audioop's C decoder, fact-chunk
+    length trim, and the loud stereo/short-block failure modes."""
+    import struct
+
+    import pytest
+    from oregonwaterdataportal_etl_ray.stages.audiocodec import (
+        _adpcm_decode_blocks, decode_wav, encode_adpcm_wav)
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    t_axis = np.arange(n)
+    x = (6000 * np.sin(2 * np.pi * 440 * t_axis / 16000)
+         + 2000 * np.sin(2 * np.pi * 97 * t_axis / 16000)
+         + rng.normal(0, 120, n)).astype(np.int16)
+    wav = encode_adpcm_wav(x, 16_000, block_align=256)
+    y, rate = decode_wav(wav)
+    assert rate == 16_000 and y.shape == (n, 1)  # fact chunk trims padding
+    y16 = (y[:, 0] * 32768).astype(np.int64)
+    err = x.astype(np.int64) - y16
+    snr = 10 * np.log10(np.mean(x.astype(np.float64) ** 2)
+                        / np.mean(err.astype(np.float64) ** 2))
+    assert snr > 25.0, snr
+
+    # conformance: first data block vs audioop.adpcm2lin (nibble order swapped)
+    audioop = pytest.importorskip("audioop")
+    pos = 12
+    while True:
+        tag = wav[pos:pos + 4]
+        (ln,) = struct.unpack_from("<I", wav, pos + 4)
+        if tag == b"data":
+            data = wav[pos + 8:pos + 8 + ln]
+            break
+        pos += 8 + ln + (ln & 1)
+    b0 = data[:256]
+    mine = _adpcm_decode_blocks(b0, 256)
+    pred0 = struct.unpack_from("<h", b0, 0)[0]
+    nb = np.frombuffer(b0[4:], np.uint8)
+    ref_frag, _ = audioop.adpcm2lin(
+        (((nb & 0x0F) << 4) | (nb >> 4)).tobytes(), 2, (pred0, b0[2]))
+    ref = np.concatenate([[pred0], np.frombuffer(ref_frag, "<i2")])
+    assert np.array_equal(mine, ref)
+
+    # stereo ADPCM is a declared gap, not silent garbage
+    stereo = wav[:22] + struct.pack("<H", 2) + wav[24:]
+    with pytest.raises(NotImplementedError):
+        decode_wav(stereo)
