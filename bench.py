@@ -84,6 +84,7 @@ BATTERY = [
     "multimodal_decode",
     "image_decode_real",
     "audio_decode_real",
+    "video_decode_real",
 ]
 
 

@@ -1690,6 +1690,56 @@ def fuzzy_dedup_corpus(sf_dir: str):
               .sort("lang"))
 
 
+@_q("video_decode_real", """
+WITH p AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) AS d0,
+         CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) AS d1,
+         CAST(concat('0x', substr(md5(text), 5, 2)) AS INTEGER) AS d2,
+         CAST(concat('0x', substr(md5(text), 7, 2)) AS INTEGER) AS d3
+  FROM documents)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(2 + d0 % 4 AS INTEGER) AS n_frames,
+       CAST(CASE WHEN d3 % 2 = 0 THEN 10 ELSE 25 END AS INTEGER) AS fps,
+       CAST(16 + d1 % 16 AS INTEGER) AS height,
+       CAST(16 + (d1 // 16) % 16 AS INTEGER) AS width,
+       ((d2 + 37 * f) % 256) / 255.0 AS mean_intensity
+FROM p, unnest(range(0, 2 + d0 % 4, 2)) AS t(f)
+""")
+def video_decode_real(sf_dir: str):
+    """REAL video decode, oracle-checked end to end: each document's content
+    hash synthesizes a short MJPEG AVI (frame count, fps, geometry, and a
+    per-frame flat fill from the md5 bytes — flat fills are exact through
+    baseline JPEG's DC-only representation). The pure-python container
+    parser + pure-numpy JPEG decoder sample every 2nd frame in a
+    distributed actor-pool stage (flat_map shape: one payload row -> one
+    row per sampled frame), so every decoded feature must equal the
+    md5-byte arithmetic the oracle computes in SQL. Perceptual codecs
+    (H.264 etc.) remain the declared ffmpeg deployment swap."""
+    from ..stages.videocodec import MjpegFrameSampler, encode_mjpeg_avi
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synthesize(t: pa.Table) -> pa.Table:
+        hexes = md5_hex(pc.fill_null(t["text"], "")).to_pylist()
+        payloads = []
+        for hx in hexes:
+            d = bytes.fromhex(hx[:8])
+            n, fps = 2 + d[0] % 4, 10 if d[3] % 2 == 0 else 25
+            h, w = 16 + d[1] % 16, 16 + (d[1] // 16) % 16
+            frames = [np.full((h, w), (d[2] + 37 * f) % 256, np.uint8)
+                      for f in range(n)]
+            payloads.append(encode_mjpeg_avi(frames, fps=fps))
+        return pa.table({"doc_id": t["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    as_avi = ds.map_batches(synthesize, batch_format="pyarrow", batch_size=32)
+    return as_avi.map_batches(MjpegFrameSampler,
+                              fn_constructor_kwargs=dict(stride=2),
+                              batch_format="pyarrow", batch_size=32,
+                              concurrency=_conc())
+
+
 @_q("audio_decode_real", """
 SELECT doc_id,
        CAST(1000 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) * 16

@@ -271,3 +271,43 @@ def test_adpcm_roundtrip_snr_and_conformance():
     stereo = wav[:22] + struct.pack("<H", 2) + wav[24:]
     with pytest.raises(NotImplementedError):
         decode_wav(stereo)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-AVI video codec + frame sampler
+# ---------------------------------------------------------------------------
+
+def test_mjpeg_avi_roundtrip_and_sampler(ray_session):
+    import ray
+    from oregonwaterdataportal_etl_ray.stages.videocodec import (
+        MjpegFrameSampler, decode_frame, encode_mjpeg_avi, parse_mjpeg_avi)
+    fills = (10, 60, 110, 160, 210)
+    avi = encode_mjpeg_avi([np.full((24, 32), v, np.uint8) for v in fills],
+                           fps=10)
+    meta = parse_mjpeg_avi(avi)
+    assert (meta["n_frames"], meta["fps"], meta["width"], meta["height"]) \
+        == (5, 10, 32, 24)
+    # flat fills survive baseline JPEG exactly; sampling decodes only k JPEGs
+    for i, v in enumerate(fills):
+        img = decode_frame(avi, meta["frames"], i)
+        assert img.shape[:2] == (24, 32) and abs(float(img.mean()) - v) < 0.5
+    t = pa.table({"doc_id": pa.array([7, 8], pa.int64()),
+                  "payload": pa.array([avi, b"nope"], pa.binary())})
+    out = MjpegFrameSampler(stride=2, on_error="null")(t).to_pandas()
+    good = out[out["doc_id"] == 7]
+    assert list(good["frame_idx"]) == [0, 2, 4]
+    assert np.allclose(good["mean_intensity"], [10 / 255, 110 / 255, 210 / 255],
+                       atol=2 / 255)
+    assert out[out["doc_id"] == 8]["frame_idx"].isna().all()
+    import pytest
+    with pytest.raises(ValueError):
+        MjpegFrameSampler(on_error="raise")(t)
+    # distributed drive: actor-pool stage over a from_arrow dataset
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "payload": pa.array([avi] * 6, pa.binary())}))
+    dist = ds.map_batches(MjpegFrameSampler,
+                          fn_constructor_kwargs=dict(stride=2),
+                          batch_format="pyarrow", batch_size=2,
+                          concurrency=2).to_pandas()
+    assert len(dist) == 6 * 3 and set(dist["frame_idx"]) == {0, 2, 4}
