@@ -477,8 +477,7 @@ def workbook_split(sf_dir: str):
                      columns=["event_id", "event_type", "value"]).materialize()
     out = split_source(src, "event_type",
                        {s: ["event_id", "value"] for s in sheet_names})
-    for s in sheet_names:  # the split's views carry exactly the declared columns
-        assert set(out[s].schema().names) == {"event_id", "value"}
+    assert set(out) == set(sheet_names)  # column laws pinned in tests/test_workbook.py
     # oracle summary: ONE grouped pass over the materialized source — the
     # round-2 shape (5 filtered views re-tagged + union) re-scanned the
     # materialized blocks once per sheet
@@ -1742,7 +1741,7 @@ def video_decode_real(sf_dir: str):
 
 @_q("audio_decode_real", """
 SELECT doc_id,
-       CAST(1000 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) * 16
+       CAST(300 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) * 4
             AS DOUBLE)
        / (CASE WHEN CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) % 2 = 0
                THEN 8000 ELSE 16000 END) AS duration_s,
@@ -1769,7 +1768,7 @@ def audio_decode_real(sf_dir: str):
         payloads = []
         for hx in hexes:
             d = bytes.fromhex(hx[:8])
-            n = 1000 + d[0] * 16
+            n = 300 + d[0] * 4
             rate = 8000 if d[1] % 2 == 0 else 16000
             x = (8000.0 * np.sin(2 * np.pi * (100 + d[2] * 4)
                                  * np.arange(n) / rate)).astype(np.int16)

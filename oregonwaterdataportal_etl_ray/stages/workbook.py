@@ -53,18 +53,30 @@ def split_source(ds, sheet_col: str, sheets: dict[str, list[str]],
     userCode/xlsx/lib.py:34)."""
     src = ds.materialize()  # read/parse ONCE; outputs are filtered views
     if strict_count:
-        # distinct values only — no full count-aggregate nobody reads
-        found = set(src.select_columns([sheet_col]).unique(sheet_col))
+        # distinct discriminator values via map-side per-block unique — the
+        # final unique() then sees <= blocks x sheets rows instead of
+        # shuffling the whole column
+        found = set(src.select_columns([sheet_col])
+                    .map_batches(lambda t: pa.table(
+                        {sheet_col: pc.unique(t[sheet_col])}),
+                        batch_format="pyarrow")
+                    .unique(sheet_col))
         if found != set(sheets):
             raise ValueError(
                 f"workbook must contain exactly sheets {sorted(sheets)}; "
                 f"found {sorted(found)}")
+    # filtered views keep the source schema, so one schema() call validates
+    # every sheet without triggering per-view plan execution
+    src_cols = src.schema().names
     out = {}
     for name, declared in sheets.items():
+        missing = sorted(set(declared) - set(src_cols))
+        if missing:
+            raise ValueError(
+                f"sheet {name!r} validation failed: missing columns {missing}")
         view = src.filter(expr=f"{sheet_col} == {name!r}")
-        validate_sheet_columns(view, declared, name)
         out[name] = view.select_columns(
-            [c for c in src.schema().names if c in declared])
+            [c for c in src_cols if c in declared])
     return out
 
 
