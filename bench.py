@@ -79,6 +79,8 @@ BATTERY = [
     "vocab_topk",
     "stratified_sample",
     "benchmark_decontaminate",
+    "mixture_reweight",
+    "kmeans_assign",
     "embedding_norms",
     "ann_topk",
     "multimodal_decode",

@@ -1689,6 +1689,74 @@ def fuzzy_dedup_corpus(sf_dir: str):
               .sort("lang"))
 
 
+@_q("mixture_reweight", """
+WITH s AS (
+  SELECT source, SUM(n_chars) AS total_chars FROM documents GROUP BY source),
+tot AS (SELECT SUM(total_chars) AS t, COUNT(*) AS k FROM s)
+SELECT source, total_chars,
+       ROUND(total_chars / t, 6) AS current_share,
+       ROUND((t / k) / total_chars, 6) AS weight
+FROM s, tot ORDER BY source
+""")
+def mixture_reweight(sf_dir: str):
+    """Domain-mixture reweighting (corpus rebalancing toward a target
+    mixture, cf. the publicly described data-mixing recipes of the Pile /
+    DoReMi papers): per-source character mass -> sampling weight that moves
+    each source to the uniform target share. The heavy side is ONE
+    partial-aggregated groupby whose shuffle moves (source, partial_sum)
+    pairs; the weight arithmetic runs on the aggregated (n_sources-row)
+    table, which is legitimately driver-small at any corpus scale."""
+    from ray.data.aggregate import Sum
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+    agg = ds.groupby("source").aggregate(Sum("n_chars", alias_name="total_chars")) \
+            .to_pandas().sort_values("source").reset_index(drop=True)
+    t, k = float(agg["total_chars"].sum()), len(agg)
+    agg["current_share"] = (agg["total_chars"] / t).round(6)
+    agg["weight"] = ((t / k) / agg["total_chars"]).round(6)
+    return pa.table({"source": pa.array(agg["source"], pa.string()),
+                     "total_chars": pa.array(agg["total_chars"], pa.int64()),
+                     "current_share": pa.array(agg["current_share"], pa.float64()),
+                     "weight": pa.array(agg["weight"], pa.float64())})
+
+
+@_q("kmeans_assign")
+def kmeans_assign(sf_dir: str):
+    """Embedding clustering (SemDeDup-style curation primitive, cf. the
+    publicly described cluster-then-dedup recipe): k-means centroids trained
+    on a STREAMED sample (same discipline as ann_ivf — the driver holds
+    4096 rows, never the table), every vector assigned to its nearest
+    centroid in map_batches, then a per-cluster summary (size, mean
+    distance-to-centroid). Rows-only: k-means is seed/iteration-dependent;
+    the assignment law (every vector lands on its argmin centroid) and
+    coverage law are pinned in pytest."""
+    from ray.data.aggregate import Count, Mean
+    from ..stages.ann import IVFAssign, IVFIndex, _matrix
+    sample = read_table(sf_dir, "embeddings", columns=["embedding"]) \
+        .limit(4096).take_batch(4096, batch_format="pyarrow")
+    index = IVFIndex(_matrix(sample["embedding"]), n_cells=16)
+    iref = ray.put(index)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    class AssignDist(IVFAssign):
+        # extend the IVF cell assign with the distance-to-centroid feature
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _matrix(t[self.vec_col]).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            cells = self.index.cell_of(m)
+            # unit-sphere distance, consistent with the cosine k-means cells
+            d = np.linalg.norm(m - self.index.centroids[cells], axis=1)
+            return pa.table({"cluster": pa.array(cells.astype(np.int32)),
+                             "dist": pa.array(d.astype(np.float64))})
+
+    assigned = ds.map_batches(AssignDist,
+                              fn_constructor_kwargs=dict(index_ref=iref),
+                              batch_format="pyarrow", concurrency=_conc())
+    return (assigned.groupby("cluster")
+                    .aggregate(Count(alias_name="n_members"),
+                               Mean("dist", alias_name="mean_dist"))
+                    .sort("cluster"))
+
+
 @_q("video_decode_real", """
 WITH p AS (
   SELECT doc_id,

@@ -141,3 +141,30 @@ def test_asof_join_matches_pandas(ray_session):
     import pandas as pd
     pd.testing.assert_series_equal(got["last_view_value"], want["last_view_value"],
                                    check_names=False)
+
+
+def test_kmeans_assign_coverage_and_argmin_law(ray_session):
+    import duckdb
+    import numpy as np
+    from oregonwaterdataportal_etl_ray.pipelines.queries import QUERIES
+    from oregonwaterdataportal_etl_ray.stages.ann import IVFIndex, _matrix
+    from oregonwaterdataportal_etl_ray.sources.readers import read_table
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["kmeans_assign"](sf).to_pandas()
+    total = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/embeddings.parquet'").fetchone()[0]
+    assert int(out["n_members"].sum()) == total          # every vector lands
+    assert out["cluster"].between(0, 15).all()
+    assert (out["mean_dist"] >= 0).all() and (out["mean_dist"] <= 2).all()
+    # assignment law: same deterministic sample -> same centroids -> argmin
+    # recomputed locally matches the distributed cluster sizes
+    sample = read_table(sf, "embeddings", columns=["embedding"]) \
+        .limit(4096).take_batch(4096, batch_format="pyarrow")
+    index = IVFIndex(_matrix(sample["embedding"]), n_cells=16)
+    allv = read_table(sf, "embeddings", columns=["embedding"]) \
+        .take_batch(100_000, batch_format="pyarrow")
+    cells = index.cell_of(_matrix(allv["embedding"]))
+    want = np.bincount(cells, minlength=16)
+    got = np.zeros(16, np.int64)
+    got[out["cluster"].to_numpy()] = out["n_members"].to_numpy()
+    assert np.array_equal(got, want)
