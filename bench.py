@@ -79,6 +79,7 @@ BATTERY = [
     "vocab_topk",
     "stratified_sample",
     "benchmark_decontaminate",
+    "curation_pipeline",
     "mixture_reweight",
     "kmeans_assign",
     "embedding_norms",

@@ -65,15 +65,19 @@ def _round_cols(ndigits: int, cols: list[str]):
 # ---------------------------------------------------------------------------
 
 def dataset_keep_last(ds, key_cols: list[str], order_cols: list[str],
-                      num_buckets: int | None = None):
+                      num_buckets: int | None = None, keep: str = "last"):
     """Distributed keep-last-per-key: map-side combine -> one bucket shuffle
     -> vectorized per-bucket reduce. The shuffle moves winners-per-block only.
-    Bucket count derives from the cluster width (power of two) unless given."""
+    Bucket count derives from the cluster width (power of two) unless given.
+    ``keep="first"`` flips both the combiner and the reducer to smallest-order
+    wins (first-seen dedup, e.g. keep the lowest doc_id per content hash)."""
     from ..cdc.merge import bucket_of_keys
+    from ..stages.kernels import keep_first_by
     num_buckets = num_buckets or derived_num_buckets()
+    kernel = keep_first_by if keep == "first" else keep_last_by
 
     def partial(t: pa.Table) -> pa.Table:
-        t = keep_last_by(t, key_cols, order_cols)
+        t = kernel(t, key_cols, order_cols)
         if len(key_cols) == 1 and pa.types.is_integer(t.column(key_cols[0]).type):
             b = pc.cast(pc.bit_wise_and(t.column(key_cols[0]), num_buckets - 1), pa.int32())
         else:
@@ -83,7 +87,7 @@ def dataset_keep_last(ds, key_cols: list[str], order_cols: list[str],
         return t.append_column("__bucket", b)
 
     def reduce_group(t: pa.Table) -> pa.Table:
-        return keep_last_by(t, key_cols, order_cols).drop_columns(["__bucket"])
+        return kernel(t, key_cols, order_cols).drop_columns(["__bucket"])
 
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("__bucket")
@@ -1852,6 +1856,29 @@ def audio_decode_real(sf_dir: str):
     return out.select_columns(["doc_id", "duration_s", "sample_rate", "channels"])
 
 
+def _bench_gram_ref(sf_dir: str):
+    """Build the benchmark (eval-suite) token 3-gram set in ONE Ray task and
+    broadcast it via ray.put — eval suites are small relative to the training
+    corpus, so this is the small-side-broadcast shape; the driver never holds
+    the gram set, only the object ref."""
+    from ..stages.text import token_ngrams
+
+    @ray.remote
+    def bench_grams() -> set:
+        refs = read_table(sf_dir, "documents",
+                          columns=["doc_id", "text"]).to_arrow_refs()
+        out: set = set()
+        for ref in refs:
+            tbl = ray.get(ref)
+            ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+            sub = tbl.filter(pa.array(ids % 97 == 0))
+            _, grams = token_ngrams(sub["text"], n=3)
+            out.update(grams.tolist())
+        return out
+
+    return ray.put(ray.get(bench_grams.remote()))
+
+
 @_q("benchmark_decontaminate", r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
@@ -1880,20 +1907,7 @@ def benchmark_decontaminate(sf_dir: str):
     per-doc distinct-hit counts are exact within a batch)."""
     from ..stages.text import token_ngrams
 
-    @ray.remote
-    def bench_grams() -> set:
-        refs = read_table(sf_dir, "documents",
-                          columns=["doc_id", "text"]).to_arrow_refs()
-        out: set = set()
-        for ref in refs:
-            tbl = ray.get(ref)
-            ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
-            sub = tbl.filter(pa.array(ids % 97 == 0))
-            _, grams = token_ngrams(sub["text"], n=3)
-            out.update(grams.tolist())
-        return out
-
-    gref = ray.put(ray.get(bench_grams.remote()))
+    gref = _bench_gram_ref(sf_dir)
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     class Check:
@@ -1918,6 +1932,96 @@ def benchmark_decontaminate(sf_dir: str):
     lo, hi = _conc()
     return ds.map_batches(Check, concurrency=(lo, hi), batch_size=2048,
                           batch_format="pyarrow")
+
+
+@_q("curation_pipeline", rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+grams AS (
+  SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ')
+                         for i in range(1, len(t) - 1)]) AS g
+  FROM toks),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+contaminated AS (
+  SELECT DISTINCT d.doc_id
+  FROM grams d JOIN bench b USING (g) WHERE d.doc_id % 97 <> 0),
+kept AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 <> 0
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+scored AS (
+  SELECT doc_id, lang,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
+         len(regexp_extract_all(text, '{_STOP_RE}')) AS ns,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+q AS (
+  SELECT lang, n_tokens, nc,
+         ROUND(0.4 * LEAST(nc / 1000.0, 1.0)
+             + 0.4 * (CASE WHEN nc > 0 THEN na * 1.0 / nc ELSE 0 END)
+             + 0.2 * LEAST((CASE WHEN nc > 0 THEN 100.0 * ns / nc ELSE 0 END) / 3.0, 1.0),
+               6) AS quality_score
+  FROM scored)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(nc) AS BIGINT) AS total_chars
+FROM q WHERE quality_score >= 0.45 GROUP BY lang
+""")
+def curation_pipeline(sf_dir: str):
+    """Flagship end-to-end corpus curation composition — the full LLM-prep
+    funnel in one streaming pipeline: training slice -> exact dedup
+    (keep-first by content hash) -> benchmark decontamination (token 3-gram
+    overlap vs the eval slice) -> quality filter -> per-language corpus
+    stats. Fully deterministic, so the whole funnel is one DuckDB oracle.
+
+    Scale shape: the heavy ``text`` column is read ONCE and leaves the
+    pipeline at the first map_batches — everything that shuffles afterwards
+    is a narrow feature row (md5, lang, counts, score, contam flag). The
+    benchmark gram set broadcasts via ray.put (eval-suite-sized); dedup is
+    the map-side-combine + one bucket-shuffle keep-first; the final stats
+    are a tiny groupby over ~n_langs keys."""
+    from ray.data.aggregate import Count, Sum
+    from ..stages.text import token_ngrams
+
+    gref = _bench_gram_ref(sf_dir)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    class Featurize:
+        def __init__(self):
+            self.grams = ray.get(gref)
+            self.score = QualityScore()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(ids % 97 != 0))  # training slice only
+            scored = token_count(self.score(t))
+            doc_idx, grams = token_ngrams(t["text"], n=3)
+            contaminated = np.zeros(t.num_rows, dtype=bool)
+            if len(grams):
+                hit = pd.Series(grams, copy=False).isin(self.grams).to_numpy()
+                contaminated[np.unique(doc_idx[hit])] = True
+            return pa.table({
+                "doc_id": t["doc_id"], "lang": t["lang"],
+                "text_md5": md5_hex(t["text"]),
+                "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+                "n_tokens": scored["n_tokens"],
+                "quality_score": scored["quality_score"],
+                "contaminated": pa.array(contaminated),
+            })
+
+    feats = ds.map_batches(Featurize, concurrency=_conc(), batch_size=2048,
+                           batch_format="pyarrow")
+    kept = dataset_keep_last(feats, ["text_md5"], ["doc_id"], keep="first")
+    clean = kept.map_batches(
+        lambda t: t.filter(pc.and_(pc.invert(t["contaminated"]),
+                                   pc.greater_equal(t["quality_score"], 0.45))),
+        batch_format="pyarrow")
+    return clean.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="total_tokens"),
+        Sum("n_chars", alias_name="total_chars"))
 
 
 # ===========================================================================

@@ -40,6 +40,21 @@ def test_keep_last_and_first():
     assert first["v"].to_pylist() == [1, 3]
 
 
+def test_dataset_keep_first_distributed():
+    """dataset_keep_last(keep='first') — the combiner AND reducer both flip
+    to smallest-order-wins, so splitting a key across blocks still yields the
+    global first (curation_pipeline's dedup relies on this law)."""
+    import ray.data
+    from oregonwaterdataportal_etl_ray.pipelines.queries import dataset_keep_last
+    t = pa.table({"k": ["a", "b", "a", "b", "a"], "o": [3, 9, 1, 7, 2],
+                  "v": [30, 90, 10, 70, 20]})
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = dataset_keep_last(ds, ["k"], ["o"], num_buckets=4,
+                            keep="first").to_pandas()
+    got = dict(zip(out["k"], out["v"]))
+    assert got == {"a": 10, "b": 70}
+
+
 def test_keep_last_multi_order_tiebreak():
     t = pa.table({"k": ["a"] * 3, "v": [1, 2, 3], "o1": [5, 5, 4], "o2": [1, 2, 0]})
     assert keep_last_by(t, ["k"], ["o1", "o2"])["v"].to_pylist() == [2]
