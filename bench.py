@@ -80,6 +80,7 @@ BATTERY = [
     "stratified_sample",
     "benchmark_decontaminate",
     "curation_pipeline",
+    "hot_ngram_flags",
     "mixture_reweight",
     "kmeans_assign",
     "embedding_norms",

@@ -1934,6 +1934,78 @@ def benchmark_decontaminate(sf_dir: str):
                           batch_format="pyarrow")
 
 
+@_q("hot_ngram_flags", r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''),
+grams AS (
+  SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ')
+                         for i in range(1, len(t) - 1)]) AS g
+  FROM toks),
+freq AS (SELECT g, count(*) AS f FROM grams GROUP BY g)
+SELECT doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN f >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+       ROUND(sum(CASE WHEN f >= 5 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS hot_ratio
+FROM grams JOIN freq USING (g)
+GROUP BY doc_id
+""")
+def hot_ngram_flags(sf_dir: str):
+    """Corpus-boilerplate flagging (cf. the published substring-dedup
+    analyses of C4/MassiveText: boilerplate shows up as n-grams whose GLOBAL
+    corpus frequency is anomalously high). Per doc: total token 3-grams, how
+    many are 'hot' (global frequency >= K), and the hot ratio.
+
+    Scale shape — the co-partitioned large-large join (contrast
+    benchmark_decontaminate's broadcast, which assumes an eval-suite-sized
+    side): gram occurrences hash-partition by hash(gram), so EVERY occurrence
+    of a gram lands in one partition and its global frequency is computable
+    locally inside map_groups — no broadcast, no second pass over text, no
+    driver-side state. Each partition emits one (doc, n_grams, n_hot)
+    partial per doc it saw; those reduce with a small integer-keyed
+    groupby-sum. Skew note: one ultra-hot gram's occurrences serialize into
+    one partition — at larger scale pre-aggregate (doc_id, g) -> count
+    inside the explode batch to bound the blowup to distinct pairs; the
+    bucket count derives from cluster width."""
+    from ray.data.aggregate import Sum
+    from ..stages.text import token_ngrams
+    K = 5
+    nb = derived_num_buckets()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc_idx, grams = token_ngrams(t["text"], n=3)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[doc_idx]
+        b = (pd.util.hash_array(grams) % nb).astype(np.int32)
+        return pa.table({"doc_id": pa.array(ids), "g": pa.array(grams, pa.string()),
+                         "bucket": pa.array(b)})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g_codes, _ = pd.factorize(t["g"].to_numpy(zero_copy_only=False))
+        f = np.bincount(g_codes)
+        hot_occ = f[g_codes] >= K
+        d_codes, d_ids = pd.factorize(t["doc_id"].to_numpy(zero_copy_only=False))
+        n_grams = np.bincount(d_codes).astype(np.int64)
+        n_hot = np.bincount(d_codes, weights=hot_occ).astype(np.int64)
+        return pa.table({"doc_id": pa.array(np.asarray(d_ids)),
+                         "n_grams": pa.array(n_grams), "n_hot": pa.array(n_hot)})
+
+    partials = (ds.map_batches(explode, batch_format="pyarrow")
+                  .groupby("bucket")
+                  .map_groups(per_bucket, batch_format="pyarrow"))
+    summed = partials.groupby("doc_id").aggregate(
+        Sum("n_grams", alias_name="n_grams"), Sum("n_hot", alias_name="n_hot"))
+
+    def ratio(t: pa.Table) -> pa.Table:
+        ng = t["n_grams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nh = t["n_hot"].to_numpy(zero_copy_only=False).astype(np.float64)
+        r6 = np.floor(nh / ng * 1e6 + 0.5) / 1e6
+        return t.append_column("hot_ratio", pa.array(r6))
+
+    return summed.map_batches(ratio, batch_format="pyarrow")
+
+
 @_q("curation_pipeline", rf"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
