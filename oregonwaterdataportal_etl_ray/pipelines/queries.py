@@ -1977,12 +1977,17 @@ def hot_ngram_flags(sf_dir: str):
     def explode(t: pa.Table) -> pa.Table:
         doc_idx, grams = token_ngrams(t["text"], n=3)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)[doc_idx]
-        b = (pd.util.hash_array(grams) % nb).astype(np.int32)
-        return pa.table({"doc_id": pa.array(ids), "g": pa.array(grams, pa.string()),
+        # ship 64-bit gram fingerprints, not strings: the shuffle payload
+        # drops ~3x and the per-bucket factorize runs on ints. Collision odds
+        # are birthday(n_distinct_grams, 2^64) — vanishing at test scale and
+        # noise-level for boilerplate stats at corpus scale.
+        gh = pd.util.hash_array(grams)
+        b = (gh % nb).astype(np.int32)
+        return pa.table({"doc_id": pa.array(ids), "gh": pa.array(gh),
                          "bucket": pa.array(b)})
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        g_codes, _ = pd.factorize(t["g"].to_numpy(zero_copy_only=False))
+        g_codes, _ = pd.factorize(t["gh"].to_numpy(zero_copy_only=False))
         f = np.bincount(g_codes)
         hot_occ = f[g_codes] >= K
         d_codes, d_ids = pd.factorize(t["doc_id"].to_numpy(zero_copy_only=False))
