@@ -405,6 +405,26 @@ def test_token_ngrams_matches_scalar_reference():
     assert 1 not in doc_idx and 2 not in doc_idx and 3 not in doc_idx
 
 
+def test_hot_ngram_flags_planted_boilerplate(ray_session, tmp_path):
+    """A doc that is one 3-gram repeated corpus-wide must score hot_ratio 1.0;
+    a doc of globally-unique tokens must score 0.0 — independent of how the
+    gram occurrences split across blocks."""
+    import pyarrow.parquet as pq
+    from oregonwaterdataportal_etl_ray.pipelines.queries import QUERIES
+    boiler = "lorem ipsum dolor"  # one gram, planted in many docs
+    docs = [{"doc_id": i, "text": f"{boiler} tail{i}", "lang": "en",
+             "source": "s", "n_chars": 0} for i in range(10)]
+    docs.append({"doc_id": 99, "text": "uniq1 uniq2 uniq3 uniq4",
+                 "lang": "en", "source": "s", "n_chars": 0})
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(docs), f"{sf}/documents.parquet")
+    out = QUERIES["hot_ngram_flags"](sf).to_pandas().set_index("doc_id")
+    # docs 0..9 share the gram "lorem ipsum dolor" (freq 10 >= K=5); their
+    # other gram ("dolor tail{i}" etc.) is unique -> ratio strictly between
+    assert out.loc[0, "n_grams"] == 2 and out.loc[0, "n_hot"] == 1
+    assert out.loc[99, "n_hot"] == 0 and out.loc[99, "hot_ratio"] == 0.0
+
+
 def test_benchmark_decontaminate_flags_planted_overlap(ray_session, tmp_path):
     import duckdb
     from oregonwaterdataportal_etl_ray.pipelines.queries import QUERIES, ORACLE_SQL
