@@ -81,6 +81,8 @@ BATTERY = [
     "benchmark_decontaminate",
     "curation_pipeline",
     "hot_ngram_flags",
+    "bpe_token_counts",
+    "top_docs_per_lang",
     "mixture_reweight",
     "kmeans_assign",
     "embedding_norms",

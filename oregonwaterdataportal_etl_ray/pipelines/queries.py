@@ -1934,6 +1934,88 @@ def benchmark_decontaminate(sf_dir: str):
                           batch_format="pyarrow")
 
 
+# RE2-compatible GPT-2-style pretokenizer (contractions, letter runs, digit
+# runs, punctuation runs). Arrow's count_substring_regex and DuckDB's
+# regexp_extract_all both run RE2, so the same pattern yields identical
+# non-overlapping leftmost matches on both sides of the oracle gate.
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+@_q("bpe_token_counts", f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}')) AS n_bpe_tokens
+FROM documents
+""")
+def bpe_token_counts(sf_dir: str):
+    """Token counting with a BPE-ish pretokenizer regex (the
+    whitespace-split counter is ``token_counts``; this is the
+    GPT-2-pretokenizer-shaped variant the LLM-prep battery calls for):
+    contractions, letter runs, digit runs, punctuation runs. One vectorized
+    RE2 pass per batch, no shuffle."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t["text"], _BPE_RE), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_bpe_tokens": n})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@_q("top_docs_per_lang", f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
+         len(regexp_extract_all(text, '{_STOP_RE}')) AS ns
+  FROM documents),
+q AS (
+  SELECT doc_id, lang,
+         ROUND(0.4 * LEAST(nc / 1000.0, 1.0)
+             + 0.4 * (CASE WHEN nc > 0 THEN na * 1.0 / nc ELSE 0 END)
+             + 0.2 * LEAST((CASE WHEN nc > 0 THEN 100.0 * ns / nc ELSE 0 END) / 3.0, 1.0),
+               6) AS quality_score
+  FROM s)
+SELECT lang, doc_id, quality_score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT lang, doc_id, quality_score,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY quality_score DESC, doc_id) AS rank
+      FROM q)
+WHERE rank <= 3
+""")
+def top_docs_per_lang(sf_dir: str):
+    """Grouped top-k (best 3 docs per language by quality score): each batch
+    emits only its own per-lang top 3 — a partial top-k combiner — so the
+    groupby shuffle moves at most 3 x n_langs rows per block, never the
+    corpus. Final per-lang rank assigned in map_groups. Ranking uses the
+    ROUNDED score (ties broken by doc_id) so Ray and the SQL window function
+    order identically."""
+    k = 3
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def score_and_prune(t: pa.Table) -> pa.Table:
+        scored = QualityScore()(t)
+        df = pd.DataFrame({
+            "lang": scored["lang"].to_numpy(zero_copy_only=False),
+            "doc_id": scored["doc_id"].to_numpy(zero_copy_only=False),
+            "quality_score": scored["quality_score"].to_numpy(zero_copy_only=False)})
+        top = (df.sort_values(["quality_score", "doc_id"],
+                              ascending=[False, True])
+                 .groupby("lang", sort=False).head(k))
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def final_rank(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["quality_score", "doc_id"],
+                                       ascending=[False, True]).head(k)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(
+            df[["lang", "doc_id", "quality_score", "rank"]],
+            preserve_index=False)
+
+    return (ds.map_batches(score_and_prune, batch_format="pyarrow")
+              .groupby("lang")
+              .map_groups(final_rank, batch_format="pyarrow"))
+
+
 @_q("hot_ngram_flags", r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
