@@ -83,6 +83,7 @@ BATTERY = [
     "hot_ngram_flags",
     "bpe_token_counts",
     "top_docs_per_lang",
+    "tfidf_top_terms",
     "mixture_reweight",
     "kmeans_assign",
     "embedding_norms",

@@ -1934,6 +1934,88 @@ def benchmark_decontaminate(sf_dir: str):
                           batch_format="pyarrow")
 
 
+@_q("tfidf_top_terms", r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+sc AS (
+  SELECT t.doc_id, t.term, t.tf,
+         ROUND(t.tf * ln(n.n * 1.0 / d.df), 6) AS tfidf
+  FROM tf t JOIN df d USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, tfidf
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn FROM sc)
+WHERE rn = 1
+""")
+def tfidf_top_terms(sf_dir: str):
+    """Per-document most-distinctive term by tf-idf (idf = ln(N/df)) — the
+    corpus-statistics-broadcast scoring shape: document frequencies aggregate
+    once (map-side partials -> vocab-sized groupby-sum), the {term: df} dict
+    is built INSIDE a Ray task and broadcast via ray.put (driver never holds
+    the vocab), and the scoring pass streams each batch through one
+    vectorized tf + map + argmax. Ties broken by term so Ray and the SQL
+    window function rank identically on the ROUNDED score. Scale caveat
+    (documented like embedding_near_dup's): vocab-fits-a-node; the escape
+    hatch is hot_ngram_flags' co-partitioned frequency join."""
+    from ray.data.aggregate import Sum
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def _doc_term(t: pa.Table) -> pd.DataFrame:
+        trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(t["text"]))
+        t2 = pa.table({"doc_id": t["doc_id"], "text": trimmed}) \
+               .filter(pc.not_equal(trimmed, ""))
+        toks = pc.split_pattern_regex(t2["text"], r"\s+")
+        parents = pc.list_parent_indices(toks)
+        return pd.DataFrame({
+            "doc_id": pc.take(t2["doc_id"], parents).to_numpy(zero_copy_only=False),
+            "term": pc.list_flatten(toks).to_pandas()})
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        d = _doc_term(t).drop_duplicates(["doc_id", "term"]) \
+                        .groupby("term").size()
+        return pa.table({"term": d.index.to_numpy(object),
+                         "df": d.to_numpy(np.int64)})
+
+    df_ds = (ds.map_batches(df_partial, batch_format="pyarrow")
+               .groupby("term").aggregate(Sum("df", alias_name="df")))
+
+    @ray.remote
+    def build_df_dict(refs) -> dict:
+        tabs = [ray.get(r) for r in refs]
+        out: dict = {}
+        for t in tabs:
+            out.update(zip(t["term"].to_pylist(), t["df"].to_numpy(
+                zero_copy_only=False)))
+        return out
+
+    dref = ray.put(ray.get(build_df_dict.remote(df_ds.to_arrow_refs())))
+
+    class Score:
+        def __init__(self):
+            self.df = ray.get(dref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            d = _doc_term(t)
+            tf = d.groupby(["doc_id", "term"], sort=False).size() \
+                  .rename("tf").reset_index()
+            dfv = tf["term"].map(self.df).to_numpy(np.float64)
+            raw = tf["tf"].to_numpy(np.float64) * np.log(n_docs / dfv)
+            tf["tfidf"] = np.floor(raw * 1e6 + 0.5) / 1e6
+            top = (tf.sort_values(["doc_id", "tfidf", "term"],
+                                  ascending=[True, False, True])
+                     .drop_duplicates("doc_id"))
+            return pa.table({"doc_id": top["doc_id"].to_numpy(np.int64),
+                             "term": pa.array(top["term"], pa.string()),
+                             "tf": top["tf"].to_numpy(np.int64),
+                             "tfidf": top["tfidf"].to_numpy(np.float64)})
+
+    return ds.map_batches(Score, concurrency=_conc(), batch_format="pyarrow")
+
+
 # RE2-compatible GPT-2-style pretokenizer (contractions, letter runs, digit
 # runs, punctuation runs). Arrow's count_substring_regex and DuckDB's
 # regexp_extract_all both run RE2, so the same pattern yields identical
