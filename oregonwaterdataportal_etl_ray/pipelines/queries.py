@@ -1977,8 +1977,10 @@ def tfidf_top_terms(sf_dir: str):
     def df_partial(t: pa.Table) -> pa.Table:
         d = _doc_term(t).drop_duplicates(["doc_id", "term"]) \
                         .groupby("term").size()
-        return pa.table({"term": d.index.to_numpy(object),
-                         "df": d.to_numpy(np.int64)})
+        # explicit types: an all-blank batch must still emit (string, int64)
+        # or the empty block degrades the unified schema downstream
+        return pa.table({"term": pa.array(d.index.to_numpy(object), pa.string()),
+                         "df": pa.array(d.to_numpy(np.int64), pa.int64())})
 
     df_ds = (ds.map_batches(df_partial, batch_format="pyarrow")
                .groupby("term").aggregate(Sum("df", alias_name="df")))
@@ -1988,6 +1990,8 @@ def tfidf_top_terms(sf_dir: str):
         tabs = [ray.get(r) for r in refs]
         out: dict = {}
         for t in tabs:
+            if t.num_rows == 0 or "term" not in t.column_names:
+                continue  # empty partition blocks may carry a bare schema
             out.update(zip(t["term"].to_pylist(), t["df"].to_numpy(
                 zero_copy_only=False)))
         return out
@@ -2000,6 +2004,11 @@ def tfidf_top_terms(sf_dir: str):
 
         def __call__(self, t: pa.Table) -> pa.Table:
             d = _doc_term(t)
+            if d.empty:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "term": pa.array([], pa.string()),
+                                 "tf": pa.array([], pa.int64()),
+                                 "tfidf": pa.array([], pa.float64())})
             tf = d.groupby(["doc_id", "term"], sort=False).size() \
                   .rename("tf").reset_index()
             dfv = tf["term"].map(self.df).to_numpy(np.float64)
