@@ -328,6 +328,27 @@ def grouped_percentiles_sketch(sf_dir: str):
         batch_format="pyarrow")
 
 
+@_q("approx_distinct_users")
+def approx_distinct_users(sf_dir: str):
+    """HyperLogLog grouped distinct count — the 100 TB path for
+    count(DISTINCT user_id) per event_type: fixed-size (2^12-byte) register
+    partials per batch (the combiner), merged with element-wise max in a tiny
+    groupby — the shuffle moves registers, never user ids. Rows-only
+    (approximate, stderr ~1.6%); the relative-error bound vs exact is pinned
+    in tests/test_sketch.py."""
+    import functools
+
+    from ..stages.sketch import hll_rows, merge_hll_group
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    partial = ds.map_batches(
+        functools.partial(hll_rows, group_col="event_type", key_col="user_id"),
+        batch_format="pyarrow")
+    return partial.groupby("event_type").map_groups(
+        functools.partial(merge_hll_group, group_col="event_type",
+                          out_col="approx_users"),
+        batch_format="pyarrow")
+
+
 @_q("props_extract", """
 SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
 FROM events

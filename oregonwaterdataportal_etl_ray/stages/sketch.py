@@ -128,3 +128,78 @@ def merge_digest_group(g: pa.Table, group_col: str, quantiles: list[float],
     for q in quantiles:
         out[f"p{round(q * 100)}"] = pa.array([d.quantile(q)], pa.float64())
     return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet, Fusy, Gandouet, Meunier,
+# "HyperLogLog: the analysis of a near-optimal cardinality estimation
+# algorithm", AofA 2007 — public paper). Same at-scale shape as the t-digest:
+# exact count(DISTINCT) shuffles every key; the sketch computes fixed-size
+# (2^p byte) register partials inside map_batches and merges them with
+# element-wise max in a tiny groupby — the shuffle moves registers, never
+# keys. Standard error ~= 1.04 / sqrt(2^p) (p=12 -> ~1.6%).
+# ---------------------------------------------------------------------------
+
+HLL_P = 12
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Vectorized bit length of uint64 via frexp (exponent of the float64
+    mantissa). Rounding can only mis-report values within 2^-53 relative of a
+    power of two — deterministic for a fixed input set and far inside the
+    sketch's error budget."""
+    _, e = np.frexp(w.astype(np.float64))
+    return e.astype(np.int64)
+
+
+def hll_add(regs: np.ndarray, hashed: np.ndarray, p: int = HLL_P) -> None:
+    """Fold a batch of 64-bit hashes into a 2^p uint8 register array."""
+    idx = (hashed >> np.uint64(64 - p)).astype(np.int64)
+    w = (hashed << np.uint64(p)).astype(np.uint64)
+    # rho = #leading zeros of the remaining 64-p bits + 1; w == 0 (all-zero
+    # suffix) gets the max rank 64 - p + 1
+    rho = np.where(w == 0, 64 - p + 1, np.int64(64) - _bit_length_u64(w) + 1)
+    np.maximum.at(regs, idx, rho.astype(np.uint8))
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected harmonic-mean estimate with the small-range
+    linear-counting correction from the paper."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_rows(t: pa.Table, group_col: str, key_col: str,
+             p: int = HLL_P) -> pa.Table:
+    """map_batches combiner: one 2^p-byte register blob per group per batch."""
+    import pandas as pd
+    keys = t[group_col].to_numpy(zero_copy_only=False)
+    hashed = pd.util.hash_array(t[key_col].to_numpy(zero_copy_only=False))
+    order = np.argsort(keys, kind="stable")
+    ks, hs = keys[order], hashed[order]
+    starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+    ends = np.r_[starts[1:], len(ks)]
+    rows_g, rows_r = [], []
+    for s, e in zip(starts, ends):
+        regs = np.zeros(1 << p, np.uint8)
+        hll_add(regs, hs[s:e], p)
+        rows_g.append(ks[s])
+        rows_r.append(regs.tobytes())
+    return pa.table({group_col: pa.array(rows_g),
+                     "hll_regs": pa.array(rows_r, pa.binary())})
+
+
+def merge_hll_group(g: pa.Table, group_col: str, out_col: str,
+                    p: int = HLL_P) -> pa.Table:
+    """map_groups reducer: element-wise max over one group's register blobs."""
+    regs = np.zeros(1 << p, np.uint8)
+    for blob in g["hll_regs"].to_pylist():
+        regs = np.maximum(regs, np.frombuffer(blob, np.uint8))
+    return pa.table({group_col: [g[group_col][0].as_py()],
+                     out_col: pa.array([int(round(hll_estimate(regs)))],
+                                       pa.int64())})

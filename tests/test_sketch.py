@@ -46,3 +46,49 @@ def test_sketch_query_close_to_exact(ray_session):
         for q, col in ((0.5, "p50"), (0.95, "p95")):
             rank = (grp["value"] <= approx.loc[et, col]).mean()
             assert abs(rank - q) < 0.02, (et, col, rank)
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (stderr ~1.04/sqrt(2^12) ~= 1.6%; gates use 3-4 sigma slack)
+# ---------------------------------------------------------------------------
+
+def test_hll_accuracy_across_cardinalities():
+    import pandas as pd
+    from oregonwaterdataportal_etl_ray.stages.sketch import (
+        HLL_P, hll_add, hll_estimate)
+    rng = np.random.default_rng(7)
+    for n in (100, 5_000, 200_000, 2_000_000):
+        keys = rng.integers(0, 1 << 62, size=n, dtype=np.uint64)
+        exact = len(np.unique(keys))
+        regs = np.zeros(1 << HLL_P, np.uint8)
+        for chunk in np.array_split(pd.util.hash_array(keys), 8):
+            hll_add(regs, chunk)
+        est = hll_estimate(regs)
+        assert abs(est - exact) / exact < 0.06, (n, exact, est)
+
+
+def test_hll_merge_equals_single():
+    import pandas as pd
+    from oregonwaterdataportal_etl_ray.stages.sketch import HLL_P, hll_add, hll_estimate
+    rng = np.random.default_rng(8)
+    hashed = pd.util.hash_array(
+        rng.integers(0, 1 << 62, size=100_000, dtype=np.uint64))
+    single = np.zeros(1 << HLL_P, np.uint8)
+    hll_add(single, hashed)
+    merged = np.zeros(1 << HLL_P, np.uint8)
+    for chunk in np.array_split(hashed, 16):
+        part = np.zeros(1 << HLL_P, np.uint8)
+        hll_add(part, chunk)
+        merged = np.maximum(merged, part)
+    assert np.array_equal(single, merged)
+
+
+def test_approx_distinct_query_vs_exact(ray_session):
+    from oregonwaterdataportal_etl_ray.pipelines.queries import QUERIES
+    approx = QUERIES["approx_distinct_users"](SF).to_pandas() \
+        .set_index("event_type")["approx_users"]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    exact = ev.groupby("event_type")["user_id"].nunique()
+    for et, true_n in exact.items():
+        rel = abs(approx[et] - true_n) / true_n
+        assert rel < 0.06, (et, true_n, approx[et], rel)
