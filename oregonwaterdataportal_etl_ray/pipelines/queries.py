@@ -1120,7 +1120,6 @@ def _minhash_near_dup_pairs(sf_dir: str) -> pa.Table:
     vectorized Jaccard estimate >= 0.5. Only the output-sized pair list
     ever reaches the driver. Memoized per (sf_dir) within a process so the
     verification query does not re-run the whole LSH pipeline."""
-    from ray.data.aggregate import Count
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     sigs = ds.map_batches(MinHasher(num_perm=64, k=5), batch_format="pyarrow") \
              .select_columns(["doc_id", "minhash"]).materialize()
@@ -1131,14 +1130,16 @@ def _minhash_near_dup_pairs(sf_dir: str) -> pa.Table:
                   .groupby("__part")
                   .map_groups(lambda g: pairs_in_partition(g),
                               batch_format="pyarrow"))
-    pairs = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="__nb")) \
-                 .select_columns(["id_a", "id_b"])
 
     # Verify: the candidate pair set is output-sized (bounded by the LSH
     # design), so fetch ONLY the candidate ids' signatures — a distributed
     # membership filter over the materialized signature dataset — and do one
     # vectorized estimate. No full-corpus data ever reaches the driver.
-    pairs_pd = pairs.to_pandas()
+    # Cross-band duplicates (the same pair colliding in several bands) are
+    # dropped HERE, on the already-driver-sized set, instead of paying a
+    # second all-to-all exchange for a groupby(id_a, id_b) dedup.
+    pairs_pd = pairs.to_pandas().drop_duplicates(["id_a", "id_b"]) \
+                    .sort_values(["id_a", "id_b"], ignore_index=True)
     if not len(pairs_pd):
         return pa.table({"id_a": pa.array([], pa.int64()),
                          "id_b": pa.array([], pa.int64()),
