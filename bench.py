@@ -86,6 +86,11 @@ BATTERY = [
     "tfidf_top_terms",
     "mixture_reweight",
     "kmeans_assign",
+    "approx_distinct_users",
+    "rollup_doc_stats",
+    "top_tokens",
+    "top_tokens_sketch",
+    "pivot_user_event_counts",
     "embedding_norms",
     "ann_topk",
     "multimodal_decode",

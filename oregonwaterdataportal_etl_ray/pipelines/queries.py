@@ -349,6 +349,124 @@ def approx_distinct_users(sf_dir: str):
         batch_format="pyarrow")
 
 
+@_q("rollup_doc_stats", """
+SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY ROLLUP(lang, source)
+""")
+def rollup_doc_stats(sf_dir: str):
+    """Multi-level (ROLLUP) aggregate with the at-scale shape: ONE
+    partial-aggregated distributed groupby at the finest grain
+    (lang, source), then the coarser levels — per-lang and grand total —
+    are re-aggregated FROM that result, which is legitimately driver-small
+    (n_langs x n_sources rows) at any corpus scale. The rolled-up grouping
+    columns are labeled 'ALL' on both sides (the corpus has no null
+    lang/source, so COALESCE is unambiguous)."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+    ds = read_table(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    fine = ds.groupby(["lang", "source"]) \
+             .aggregate(Count(alias_name="n_docs"),
+                        Sum("n_chars", alias_name="total_chars")).to_pandas()
+    per_lang = fine.groupby("lang", as_index=False) \
+                   .agg(n_docs=("n_docs", "sum"),
+                        total_chars=("total_chars", "sum"))
+    per_lang["source"] = "ALL"
+    grand = pd.DataFrame({"lang": ["ALL"], "source": ["ALL"],
+                          "n_docs": [fine["n_docs"].sum()],
+                          "total_chars": [fine["total_chars"].sum()]})
+    out = pd.concat([fine, per_lang, grand], ignore_index=True) \
+            .sort_values(["lang", "source"], ignore_index=True)
+    return pa.table({"lang": pa.array(out["lang"], pa.string()),
+                     "source": pa.array(out["source"], pa.string()),
+                     "n_docs": pa.array(out["n_docs"], pa.int64()),
+                     "total_chars": pa.array(out["total_chars"], pa.int64())})
+
+
+@_q("top_tokens", """
+SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+) GROUP BY token ORDER BY n DESC, token LIMIT 50
+""")
+def top_tokens(sf_dir: str):
+    """Exact corpus-wide heavy hitters: per-batch token frequency combiner
+    (value_counts inside map_batches — the shuffle moves one row per
+    DISTINCT token per block, never per occurrence) -> groupby(token) sum ->
+    total-order top-k (count desc, token asc breaks ties deterministically)."""
+    from ray.data.aggregate import Sum
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        kept = pa.chunked_array([trimmed]).filter(pc.not_equal(trimmed, ""))
+        vc = pc.list_flatten(
+            pc.split_pattern_regex(kept, r"\s+")).value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("n", alias_name="n"))
+              .sort(["n", "token"], descending=[True, False]).limit(50))
+
+
+@_q("top_tokens_sketch")
+def top_tokens_sketch(sf_dir: str):
+    """Misra-Gries heavy hitters — the 100 TB path for top_tokens when the
+    per-block vocabulary itself is too wide to shuffle: each block's exact
+    counts are trimmed to a <= k-entry MG summary inside map_batches
+    (mg_token_partial), lower bounds are summed per surviving token, and the
+    global undercount stays <= n_total/k (Mergeable Summaries, PODS 2012).
+    Rows-only (approximate); the recovery + undercount laws are pinned in
+    tests/test_sketch.py."""
+    import functools
+
+    from ray.data.aggregate import Sum
+    from ..stages.sketch import mg_token_partial
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    partial = ds.map_batches(
+        functools.partial(mg_token_partial, text_col="text", k=512),
+        batch_format="pyarrow")
+    return (partial.groupby("token")
+                   .aggregate(Sum("n_lower", alias_name="n_lower"))
+                   .sort(["n_lower", "token"], descending=[True, False])
+                   .limit(50))
+
+
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@_q("pivot_user_event_counts", """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+""")
+def pivot_user_event_counts(sf_dir: str):
+    """Declared-domain pivot (long -> wide), map-side: each batch cross-
+    tabulates user x event_type into one int64 column per DECLARED type
+    (pivot requires a declared IN-list, as in SQL PIVOT), so the single
+    shuffle moves n_users-wide partials instead of raw events and the
+    groupby just sums columns. Types outside the domain would be dropped by
+    the reindex — the domain is part of the operator's contract."""
+    from ray.data.aggregate import Sum
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    cols = [f"n_{t}" for t in PIVOT_EVENT_TYPES]
+
+    def partial(df):
+        import pandas as pd
+        ct = pd.crosstab(df["user_id"], df["event_type"]) \
+               .reindex(columns=list(PIVOT_EVENT_TYPES), fill_value=0)
+        ct.columns = cols
+        return ct.astype("int64").reset_index()
+    return ds.map_batches(partial, batch_format="pandas") \
+             .groupby("user_id") \
+             .aggregate(*[Sum(c, alias_name=c) for c in cols])
+
+
 @_q("props_extract", """
 SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
 FROM events

@@ -203,3 +203,44 @@ def merge_hll_group(g: pa.Table, group_col: str, out_col: str,
     return pa.table({group_col: [g[group_col][0].as_py()],
                      out_col: pa.array([int(round(hll_estimate(regs)))],
                                        pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy-hitter summary (Misra & Gries, "Finding repeated
+# elements", Sci. Comput. Program. 1982; merge bound from Agarwal, Cormode,
+# Huang, Phillips, Wei, Yi, "Mergeable Summaries", PODS 2012 — public
+# papers). At-scale shape: each block is summarized to AT MOST k (token,
+# lower-bound count) rows inside map_batches, so the shuffle moves <= k rows
+# per block regardless of block vocabulary; summing lower bounds per token
+# across blocks keeps the global undercount <= n_total / k (errors add,
+# one n_b/k term per block).
+# ---------------------------------------------------------------------------
+
+
+def mg_trim(tokens: np.ndarray, counts: np.ndarray, k: int
+            ) -> tuple[np.ndarray, np.ndarray]:
+    """Reduce an exact (token, count) frequency table to a <= k-entry
+    Misra-Gries summary: subtract the (k+1)-th largest count from every
+    counter and keep the strictly positive ones. The subtracted value is at
+    most n_block / k, which bounds each surviving counter's undercount."""
+    if len(tokens) <= k:
+        return tokens, counts
+    kth = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    kept = counts > kth
+    return tokens[kept], counts[kept] - kth
+
+
+def mg_token_partial(t: pa.Table, text_col: str, k: int) -> pa.Table:
+    """map_batches combiner: whitespace-tokenize the batch, count exactly
+    (pa value_counts — an exact table is a zero-error MG summary), then trim
+    to <= k entries so the partial's size is fixed no matter the batch."""
+    import pyarrow.compute as pc
+    trimmed = pc.utf8_trim_whitespace(t[text_col])
+    toks = pc.split_pattern_regex(
+        pa.chunked_array([trimmed]).filter(pc.not_equal(trimmed, "")), r"\s+")
+    vc = pc.list_flatten(toks).value_counts()
+    tokens = vc.field("values").to_numpy(zero_copy_only=False)
+    counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+    tokens, counts = mg_trim(tokens, counts, k)
+    return pa.table({"token": pa.array(tokens, pa.string()),
+                     "n_lower": pa.array(counts, pa.int64())})

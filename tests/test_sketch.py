@@ -92,3 +92,38 @@ def test_approx_distinct_query_vs_exact(ray_session):
     for et, true_n in exact.items():
         rel = abs(approx[et] - true_n) / true_n
         assert rel < 0.06, (et, true_n, approx[et], rel)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: recovery + undercount bound (<= n_total / k)
+# ---------------------------------------------------------------------------
+
+def test_mg_trim_undercount_bound():
+    from oregonwaterdataportal_etl_ray.stages.sketch import mg_trim
+    rng = np.random.default_rng(9)
+    # zipf-ish vocabulary: a few heavy tokens + a long tail
+    counts = np.concatenate([rng.integers(5_000, 10_000, 10),
+                             rng.integers(1, 50, 20_000)]).astype(np.int64)
+    tokens = np.array([f"t{i}" for i in range(len(counts))])
+    k = 256
+    kept_t, kept_c = mg_trim(tokens, counts, k)
+    assert len(kept_t) <= k
+    pos = {t: i for i, t in enumerate(kept_t)}
+    n_total = counts.sum()
+    for i in range(10):  # every heavy token survives with bounded undercount
+        t = f"t{i}"
+        assert t in pos
+        under = counts[i] - kept_c[pos[t]]
+        assert 0 <= under <= n_total / k
+
+
+def test_top_tokens_sketch_matches_exact(ray_session):
+    from oregonwaterdataportal_etl_ray.pipelines.queries import QUERIES
+    exact = QUERIES["top_tokens"](SF).to_pandas().set_index("token")["n"]
+    approx = QUERIES["top_tokens_sketch"](SF).to_pandas() \
+        .set_index("token")["n_lower"]
+    n_total = exact.sum()  # top-50 covers the whole tiny vocab at sf0.001
+    # every true heavy token recovered; estimates undercount by <= n/k
+    for t, true_n in exact.head(20).items():
+        assert t in approx.index, t
+        assert 0 <= true_n - approx[t] <= n_total / 512, (t, true_n, approx[t])
