@@ -467,6 +467,34 @@ def pivot_user_event_counts(sf_dir: str):
              .aggregate(*[Sum(c, alias_name=c) for c in cols])
 
 
+@_q("ntile_doc_length", """
+SELECT doc_id,
+       CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS decile,
+       ROUND(PERCENT_RANK() OVER (ORDER BY n_chars, doc_id), 6) AS pct_rank
+FROM documents
+""")
+def ntile_doc_length(sf_dir: str):
+    """GLOBAL window function (no PARTITION BY): decile + percent-rank of
+    every document by length. Built on global_row_number (one sort exchange,
+    two block-aligned passes, O(#blocks) driver state — see
+    stages/window.py); (n_chars, doc_id) is a total order so SQL's
+    tie-aware RANK coincides with ROW_NUMBER and both sides agree exactly."""
+    from ..stages.window import global_row_number, ntile_of_row_numbers
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    n_total = ds.count()
+    rn = global_row_number(ds, ["n_chars", "doc_id"], out_col="__rn")
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = t["__rn"].to_numpy()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "decile": pa.array(ntile_of_row_numbers(r, n_total, 10)),
+            "pct_rank": pa.array(
+                np.round(r / max(n_total - 1, 1), 6), pa.float64()),
+        })
+    return rn.map_batches(finish, batch_format="pyarrow")
+
+
 @_q("props_extract", """
 SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
 FROM events

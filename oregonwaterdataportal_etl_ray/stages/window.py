@@ -147,3 +147,61 @@ def sessionize_group(t: pa.Table, gap_seconds: float = 1800.0) -> pa.Table:
         "n_sessions": pa.array(n_sessions, pa.int64()),
         "n_events": pa.array(n_events, pa.int64()),
     })
+
+
+def global_row_number(ds, keys: list[str], out_col: str = "row_number"):
+    """GLOBAL (un-keyed) row numbering over a totally-ordered dataset — the
+    primitive under whole-table window functions (ROW_NUMBER / NTILE /
+    PERCENT_RANK over the full corpus, no PARTITION BY).
+
+    At-scale shape: ONE sort exchange, then two block-aligned passes over the
+    materialized result — pass 1 reduces every block to (first key, count)
+    (one tiny row per block on the driver), the driver prefix-sums the counts
+    in key order, and pass 2 adds each block's offset to an arange inside
+    map_batches. No full-table collect; driver state is O(#blocks).
+
+    Partitioning assumption (documented per the operator contract): ``keys``
+    is a total order — every row's composite key is unique — so each sorted
+    block's first key identifies the block unambiguously. Callers must
+    include a unique tiebreak column (e.g. the row id) as the last key.
+    """
+    sorted_ds = ds.sort(keys).materialize()
+
+    def block_head(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({f"__k{i}": pa.array([], t[k].type)
+                             for i, k in enumerate(keys)}
+                            | {"__cnt": pa.array([], pa.int64())})
+        return pa.table({f"__k{i}": t[k].slice(0, 1)
+                         for i, k in enumerate(keys)}
+                        | {"__cnt": pa.array([t.num_rows], pa.int64())})
+
+    heads = sorted_ds.map_batches(block_head, batch_size=None,
+                                  batch_format="pyarrow").to_pandas()
+    kcols = [f"__k{i}" for i in range(len(keys))]
+    heads = heads.sort_values(kcols, ignore_index=True)
+    offsets = heads["__cnt"].cumsum().shift(fill_value=0)
+    off_by_key = {tuple(row): int(off) for row, off in
+                  zip(heads[kcols].itertuples(index=False), offsets)}
+
+    def add_rn(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        first = tuple(t[k][0].as_py() for k in keys)
+        off = off_by_key[first]
+        return t.append_column(
+            out_col, pa.array(np.arange(off, off + t.num_rows), pa.int64()))
+
+    return sorted_ds.map_batches(add_rn, batch_size=None,
+                                 batch_format="pyarrow")
+
+
+def ntile_of_row_numbers(rn: np.ndarray, n_total: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) from 0-based global row numbers: the first n%k tiles get
+    ceil(n/k) rows, the rest floor(n/k) — vectorized."""
+    q, r = divmod(n_total, k)
+    big = r * (q + 1)
+    in_big = rn < big
+    tile = np.where(in_big, rn // max(q + 1, 1),
+                    r + (rn - big) // max(q, 1))
+    return (tile + 1).astype(np.int64)

@@ -168,3 +168,20 @@ def test_kmeans_assign_coverage_and_argmin_law(ray_session):
     got = np.zeros(16, np.int64)
     got[out["cluster"].to_numpy()] = out["n_members"].to_numpy()
     assert np.array_equal(got, want)
+
+
+def test_global_row_number_is_total_order(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray as _ray
+    from oregonwaterdataportal_etl_ray.stages.window import global_row_number
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"v": rng.integers(0, 40, 5000),   # heavy ties
+                       "id": rng.permutation(5000)})
+    ds = _ray.data.from_pandas(df).repartition(13)
+    out = global_row_number(ds, ["v", "id"], out_col="rn").to_pandas()
+    assert sorted(out["rn"]) == list(range(5000))   # exact permutation
+    expect = df.sort_values(["v", "id"], ignore_index=True)
+    got = out.sort_values("rn", ignore_index=True)
+    assert (got["v"].values == expect["v"].values).all()
+    assert (got["id"].values == expect["id"].values).all()
