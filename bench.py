@@ -91,6 +91,7 @@ BATTERY = [
     "top_tokens",
     "top_tokens_sketch",
     "pivot_user_event_counts",
+    "ntile_doc_length",
     "embedding_norms",
     "ann_topk",
     "multimodal_decode",

@@ -77,24 +77,38 @@ def _read_rel(state_dir: str, rel: str) -> pa.Table:
     return pq.read_table(os.path.join(state_dir, rel))
 
 
-def _unlink_superseded(state_dir: str, rel_paths: list[str], keep: set) -> None:
+def _unlink_superseded(state_dir: str, rel_paths: list[str], keep: set,
+                       retain_changelog: bool = False) -> None:
     """Best-effort removal of state files a committed manifest no longer
     references — without this, long-running tail mode grows disk with every
     compaction (the old base + folded runs stay orphaned forever). Runs AFTER
     the manifest commit: a crash in between leaves unreferenced files (a
     bounded space leak, never a dangling reference).
+
+    ``retain_changelog``: superseded RUN files (per-epoch LWW deltas) are
+    moved to ``changelog/bucket=B/run-E.parquet`` instead of unlinked — they
+    are the engine's downstream change stream (a Debezium-style CDC output)
+    and the raw material for time-travel reads. Bases are always unlinked
+    (derived data, reconstructible from the deltas).
     """
     for rel in rel_paths:
         if rel in keep:
             continue
+        src = os.path.join(state_dir, rel)
         try:
-            os.unlink(os.path.join(state_dir, rel))
+            if retain_changelog and os.path.basename(rel).startswith("run-"):
+                dst = os.path.join(state_dir, "changelog",
+                                   os.path.relpath(rel, "data"))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(src, dst)   # atomic move, no copy
+            else:
+                os.unlink(src)
         except OSError:
             pass
 
 
 def _merge_bucket(group: pa.Table, *, state_dir: str, epoch: int,
-                  compact_every: int) -> pa.Table:
+                  compact_every: int, retain_changelog: bool = False) -> pa.Table:
     """Merge one bucket's epoch delta against its committed LSM state.
 
     Exactly-once under Ray task retry: (1) a manifest already at-or-past
@@ -154,7 +168,8 @@ def _merge_bucket(group: pa.Table, *, state_dir: str, epoch: int,
         bucket=bucket, epoch=epoch, last_applied_lsn=new_last,
         row_count=row_count, base_file=base_file, runs=runs, stats=stats))
     if superseded:
-        _unlink_superseded(state_dir, superseded, keep={base_file})
+        _unlink_superseded(state_dir, superseded, keep={base_file},
+                           retain_changelog=retain_changelog)
     return _stats_row(bucket=bucket, epoch=epoch, applied=fresh.num_rows,
                       upserts=n_up, deletes=n_del, skipped_stale=n_stale,
                       last_applied_lsn=new_last, committed=True)
@@ -203,6 +218,97 @@ class _ReadBucket:
         return pa.concat_tables(out, promote_options="permissive")
 
 
+def _bucket_delta_files(state_dir: str, m: BucketManifest, lo: int = 0,
+                        hi: int | None = None) -> list[tuple[int, str]]:
+    """(epoch, abs_path) of one bucket's retained LWW delta runs in range.
+
+    Archived deltas come from ``changelog/bucket=B/`` (moved there by
+    compaction under retain_changelog); live deltas come from the committed
+    manifest's ``runs`` list — NOT a directory glob, so a run file written by
+    a crashed, never-committed epoch is invisible here exactly as it is to
+    merge-on-read. The two sets are disjoint (archiving clears ``m.runs``
+    and epochs never re-enter it)."""
+    out: dict[int, str] = {}
+    cl = os.path.join(state_dir, "changelog", f"bucket={m.bucket:05d}")
+    if os.path.isdir(cl):
+        for f in os.listdir(cl):
+            if f.startswith("run-") and f.endswith(".parquet"):
+                e = int(f[len("run-"):-len(".parquet")])
+                if lo <= e and (hi is None or e <= hi):
+                    out[e] = os.path.join(cl, f)
+    for rel in m.runs:
+        e = int(os.path.basename(rel)[len("run-"):-len(".parquet")])
+        if lo <= e and (hi is None or e <= hi):
+            out[e] = os.path.join(state_dir, rel)
+    return sorted(out.items())
+
+
+class _ReadChangelog:
+    """Task-pool UDF: one bucket's change stream (epoch-ranged delta rows)."""
+
+    def __init__(self, state_dir: str, lo: int, hi: int | None):
+        self.state_dir, self.lo, self.hi = state_dir, lo, hi
+        self.schema = CdcEngine.load_schema(state_dir)
+
+    def _empty(self) -> pa.Table:
+        fields = [f for f in (self.schema or pa.schema([]))
+                  if f.name != "bucket"]
+        fields += [pa.field("lsn", pa.int64()), pa.field("epoch", pa.int64()),
+                   pa.field("op", pa.string())]
+        return pa.schema(fields).empty_table()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for b in batch.column("bucket").to_pylist():
+            m = load_manifest(self.state_dir, int(b))
+            if m is None:
+                continue
+            for e, path in _bucket_delta_files(self.state_dir, m,
+                                               self.lo, self.hi):
+                t = pq.read_table(path)
+                drop = [c for c in ("bucket", "__key") if c in t.column_names]
+                t = t.drop_columns(drop)
+                t = t.append_column(
+                    "epoch", pa.array([e] * t.num_rows, pa.int64()))
+                t = t.append_column(
+                    "op", pc.if_else(pc.is_valid(t["content"]),
+                                     pa.scalar("upsert"), pa.scalar("delete")))
+                out.append(t)
+        if not out:
+            return self._empty()
+        return pa.concat_tables(out, promote_options="permissive")
+
+
+class _ReadBucketAsOf:
+    """Task-pool UDF: merge-on-read of one bucket's state AS OF an epoch —
+    the LWW merge of every retained delta with epoch <= the cut, bases
+    ignored (they mix epochs; the deltas alone reconstruct any point)."""
+
+    def __init__(self, state_dir: str, epoch: int, with_sha: bool):
+        self.state_dir, self.epoch, self.with_sha = state_dir, epoch, with_sha
+        self.schema = CdcEngine.load_schema(state_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for b in batch.column("bucket").to_pylist():
+            m = load_manifest(self.state_dir, int(b))
+            if m is None:
+                continue
+            parts = [pq.read_table(p) for _, p in
+                     _bucket_delta_files(self.state_dir, m, 0, self.epoch)]
+            merged = merge_sorted_runs(parts)
+            if merged is None:
+                continue
+            t = drop_tombstones(merged)
+            if self.with_sha:
+                t = t.append_column("sha256", sha256_hex(t["content"]))
+            drop = [c for c in ("bucket", "__key") if c in t.column_names]
+            out.append(t.drop_columns(drop))
+        if not out:
+            return _ReadBucket(self.state_dir, self.with_sha)._empty()
+        return pa.concat_tables(out, promote_options="permissive")
+
+
 @dataclass
 class ReplayResult:
     epochs: list[dict] = field(default_factory=list)
@@ -219,13 +325,21 @@ class CdcEngine:
                  evolution: EvolutionSpec | None = None,
                  compact_every: int = 4,
                  normalize_concurrency: int | tuple | None = None,
-                 normalize_batch_size: int = 128 * 1024):
+                 normalize_batch_size: int = 128 * 1024,
+                 retain_changelog: bool = False):
         self.state_dir = state_dir
         self.num_buckets = num_buckets
         self.evolution = evolution or EvolutionSpec()
         self.compact_every = compact_every
         self.normalize_concurrency = normalize_concurrency
         self.normalize_batch_size = normalize_batch_size
+        # retain_changelog: keep every epoch's LWW delta run (compaction
+        # archives it under changelog/ instead of unlinking) so the engine
+        # can serve a downstream change stream (changelog_dataset) and
+        # time-travel reads (dataset_as_of). Storage grows with total change
+        # volume, like any CDC retention window; prune by deleting old
+        # changelog/bucket=*/run-<epoch>.parquet files.
+        self.retain_changelog = retain_changelog
         os.makedirs(state_dir, exist_ok=True)
 
     @staticmethod
@@ -324,7 +438,8 @@ class CdcEngine:
         """Shuffle one epoch's normalized winners to their buckets, merge, and
         commit the epoch's lineage record."""
         merge = functools.partial(_merge_bucket, state_dir=self.state_dir,
-                                  epoch=epoch, compact_every=self.compact_every)
+                                  epoch=epoch, compact_every=self.compact_every,
+                                  retain_changelog=self.retain_changelog)
         # Sort-based groupby shuffle on the int32 bucket column. Measured
         # against ShuffleStrategy.HASH_SHUFFLE at 5M events: the sort exchange
         # costs <1 core-sec per epoch vs ~70 core-sec for the hash-aggregator
@@ -544,6 +659,7 @@ class CdcEngine:
         if not todo:
             return 0
         state_dir = self.state_dir
+        retain = self.retain_changelog
 
         def compact_batch(batch: pa.Table) -> pa.Table:
             done = []
@@ -577,7 +693,8 @@ class CdcEngine:
                 m.runs = []
                 write_manifest(state_dir, m)
                 _unlink_superseded(state_dir, old_files,
-                                   keep={m.base_file} if m.base_file else set())
+                                   keep={m.base_file} if m.base_file else set(),
+                                   retain_changelog=retain)
                 done.append(int(b))
             return pa.table({"bucket": pa.array(done, pa.int32())})
 
@@ -699,6 +816,41 @@ class CdcEngine:
             _ReadBucket(self.state_dir, with_sha),
             batch_format="pyarrow", batch_size=2,
         )
+
+    def changelog_dataset(self, lo: int = 0,
+                          hi: int | None = None) -> "ray.data.Dataset":
+        """Downstream change stream (Debezium-style CDC output): one row per
+        applied LWW winner with ``epoch`` and ``op`` ('upsert'/'delete')
+        columns, for epochs in [lo, hi]. Distributed: a task per bucket batch
+        reads only that bucket's retained delta runs — no shuffle, no full
+        state scan. Complete across compactions only when the engine runs
+        with ``retain_changelog=True``; otherwise only not-yet-compacted
+        epochs are visible (documented tradeoff, same as a short binlog
+        retention window)."""
+        manifests = load_all_manifests(self.state_dir)
+        ds = ray.data.from_items([{"bucket": b} for b in sorted(manifests)])
+        return ds.map_batches(_ReadChangelog(self.state_dir, lo, hi),
+                              batch_format="pyarrow", batch_size=2)
+
+    def dataset_as_of(self, epoch: int,
+                      with_sha: bool = True) -> "ray.data.Dataset":
+        """Time-travel read: the committed table AS OF ``epoch`` (inclusive)
+        — the LWW merge of every retained per-epoch delta up to the cut,
+        reconstructed bucket-parallel with no shuffle. Exact only for state
+        dirs built with ``retain_changelog=True`` from their first epoch;
+        raises if a compaction has already discarded deltas (a base file
+        exists but nothing was archived for that bucket)."""
+        for m in load_all_manifests(self.state_dir).values():
+            if m.base_file and not os.path.isdir(os.path.join(
+                    self.state_dir, "changelog", f"bucket={m.bucket:05d}")):
+                raise ValueError(
+                    f"bucket {m.bucket} was compacted without changelog "
+                    "retention; as-of reads need retain_changelog=True from "
+                    "the state dir's first epoch")
+        manifests = load_all_manifests(self.state_dir)
+        ds = ray.data.from_items([{"bucket": b} for b in sorted(manifests)])
+        return ds.map_batches(_ReadBucketAsOf(self.state_dir, epoch, with_sha),
+                              batch_format="pyarrow", batch_size=2)
 
     def final_table(self, with_sha: bool = True) -> pa.Table:
         """Driver-side materialization (tests / small results only)."""

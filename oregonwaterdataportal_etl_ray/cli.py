@@ -15,6 +15,10 @@ Subcommands:
   lineage  print per-bucket checkpoint lineage (last LSN, row counts, stats).
   reshard  re-partition committed state to a new bucket count (cluster
            resize); epoch lineage and file-set resume carry over.
+  changelog  export the retained per-epoch change stream (op/epoch-tagged
+           delta rows) to partitioned Parquet — the engine's downstream CDC
+           feed. Complete across compactions only for state dirs written
+           with --retain-changelog.
 
 Owns the Ray session only when standalone (guarded init, per driver contract).
 """
@@ -41,7 +45,8 @@ def _engine(args):
     renames = dict(kv.split("=", 1) for kv in (args.rename or []))
     return CdcEngine(args.state_dir, num_buckets=args.num_buckets,
                      evolution=EvolutionSpec(renames=renames) if renames else None,
-                     compact_every=args.compact_every)
+                     compact_every=args.compact_every,
+                     retain_changelog=getattr(args, "retain_changelog", False))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -57,6 +62,10 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--compact-every", type=int, default=4)
     rp.add_argument("--rename", action="append", metavar="OLD=NEW",
                     help="schema-evolution alias, e.g. language=lang")
+    rp.add_argument("--retain-changelog", action="store_true",
+                    help="archive per-epoch delta runs under changelog/ at "
+                         "compaction (enables the changelog subcommand and "
+                         "time-travel reads) instead of unlinking them")
 
     xp = sub.add_parser("export")
     xp.add_argument("--state-dir", required=True)
@@ -97,6 +106,19 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--compact-every", type=int, default=4)
     sp.add_argument("--rename", action="append", metavar="OLD=NEW")
 
+    gp = sub.add_parser("changelog", help="export the retained change stream "
+                        "(op/epoch-tagged delta rows) to partitioned Parquet")
+    gp.add_argument("--state-dir", required=True)
+    gp.add_argument("--out", required=True)
+    gp.add_argument("--lo", type=int, default=0, help="first epoch (incl.)")
+    gp.add_argument("--hi", type=int, default=None, help="last epoch (incl.)")
+    gp.add_argument("--as-of", type=int, default=None, metavar="EPOCH",
+                    help="export the STATE as of this epoch instead of the "
+                         "stream (time travel; needs retained changelog)")
+    gp.add_argument("--num-buckets", type=int, default=64)
+    gp.add_argument("--compact-every", type=int, default=4)
+    gp.add_argument("--rename", action="append", metavar="OLD=NEW")
+
     args = ap.parse_args(argv)
     _init()
     eng = _engine(args)
@@ -125,6 +147,16 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"new_state_dir": args.new_state_dir,
                           "new_num_buckets": args.new_num_buckets,
                           "buckets_written": len(new_eng.lineage())}))
+    elif args.cmd == "changelog":
+        if args.as_of is not None:
+            ds = eng.dataset_as_of(args.as_of)
+        else:
+            ds = eng.changelog_dataset(lo=args.lo, hi=args.hi)
+        ds.write_parquet(args.out)
+        import ray
+        n = ray.data.read_parquet(args.out).count()
+        print(json.dumps({"out": args.out, "rows": n,
+                          "mode": "as_of" if args.as_of is not None else "stream"}))
     elif args.cmd == "export":
         ds = eng.final_dataset(with_sha=not args.no_sha)
         ds.write_parquet(args.out)

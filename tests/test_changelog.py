@@ -1,0 +1,104 @@
+"""Changelog stream + time-travel reads over retained per-epoch deltas.
+
+The reference's sink is write-only; these are the CDC-native output surfaces
+a downstream consumer expects (a Debezium-style change stream and
+point-in-time reconstruction), built purely from the LSM's own run files
+(compaction archives them under changelog/ instead of unlinking)."""
+
+import pandas as pd
+import pytest
+
+from oregonwaterdataportal_etl_ray.cdc import CdcEngine, oracle_replay
+from oregonwaterdataportal_etl_ray.fixtures import (
+    GeneratorSpec,
+    generate_change_events,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events")
+    return generate_change_events(str(d), GeneratorSpec(
+        n_events=8_000, n_repos=20, paths_per_repo=25, n_batches=6,
+        seed=23, dup_rate=0.05, shuffle_frac=0.3, delete_rate=0.08))
+
+
+@pytest.fixture(scope="module")
+def engine(corpus, tmp_path_factory, ray_session):
+    state = str(tmp_path_factory.mktemp("state") / "s")
+    # compact_every=2 forces several compactions mid-replay, so the
+    # changelog MUST survive archiving for these tests to pass
+    eng = CdcEngine(state, num_buckets=8, compact_every=2,
+                    retain_changelog=True)
+    eng.replay(corpus["files"], epoch_size=1)   # one epoch per batch file
+    return eng
+
+
+def test_changelog_counts_match_lineage(engine, ray_session):
+    """Per-epoch upsert/delete row counts in the stream equal the counts the
+    merge committed to the lineage records."""
+    cl = engine.changelog_dataset().to_pandas()
+    by = cl.groupby(["epoch", "op"]).size().unstack(fill_value=0)
+    for rec in engine.committed_epochs():
+        ups = int(by.loc[rec["epoch"], "upsert"]) if rec["epoch"] in by.index else 0
+        dels = int(by.loc[rec["epoch"], "delete"]) if rec["epoch"] in by.index and "delete" in by.columns else 0
+        assert ups == rec["upserts"], rec
+        assert dels == rec["deletes"], rec
+
+
+def test_changelog_replays_to_final_state(engine, ray_session):
+    """LWW over the full change stream reconstructs the committed table —
+    the stream is a lossless CDC feed."""
+    cl = engine.changelog_dataset().to_pandas()
+    # whole-row last (groupby().last() would skip the tombstone's null
+    # content per column and resurrect the previous upsert's value)
+    last = cl.sort_values("lsn").groupby(["repo", "path"]).tail(1)
+    live = last[last["content"].notna()]
+    final = engine.final_table(with_sha=False).to_pandas()
+    l = live.sort_values(["repo", "path"]).reset_index(drop=True)
+    f = final.sort_values(["repo", "path"]).reset_index(drop=True)
+    assert list(l["repo"]) == list(f["repo"])
+    assert list(l["path"]) == list(f["path"])
+    assert list(l["lsn"]) == list(f["lsn"])
+
+
+def test_changelog_epoch_range_filter(engine, ray_session):
+    cl = engine.changelog_dataset(lo=2, hi=3).to_pandas()
+    assert set(cl["epoch"].unique()) <= {2, 3}
+    full = engine.changelog_dataset().to_pandas()
+    want = full[(full["epoch"] >= 2) & (full["epoch"] <= 3)]
+    assert len(cl) == len(want)
+
+
+@pytest.mark.parametrize("cut", [0, 2, 5])
+def test_asof_matches_prefix_oracle(engine, corpus, cut, ray_session):
+    """State AS OF epoch E == single-process oracle replay of the first
+    E+1 batch files (epoch_size=1 makes the mapping exact)."""
+    asof = engine.dataset_as_of(cut).to_pandas()
+    oracle = oracle_replay(corpus["files"][:cut + 1])
+    assert len(asof) == len(oracle)
+    a = asof.sort_values(["repo", "path"]).reset_index(drop=True)
+    o = oracle.sort_values(["repo", "path"]).reset_index(drop=True)
+    assert list(a["repo"]) == list(o["repo"])
+    assert list(a["path"]) == list(o["path"])
+    assert list(a["lsn"]) == list(o["lsn"])
+    assert list(a["sha256"]) == list(o["sha256"])
+
+
+def test_asof_final_epoch_equals_final_table(engine, ray_session):
+    last_epoch = max(r["epoch"] for r in engine.committed_epochs())
+    asof = engine.dataset_as_of(last_epoch, with_sha=False).to_pandas()
+    final = engine.final_table(with_sha=False).to_pandas()
+    a = asof.sort_values(["repo", "path"]).reset_index(drop=True)
+    f = final.sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["repo", "path", "lsn"]],
+                                  f[["repo", "path", "lsn"]])
+
+
+def test_asof_refuses_without_retention(corpus, tmp_path, ray_session):
+    """A state dir compacted WITHOUT retention must refuse time travel
+    loudly instead of returning a silently wrong reconstruction."""
+    eng = CdcEngine(str(tmp_path / "s2"), num_buckets=8, compact_every=2)
+    eng.replay(corpus["files"], epoch_size=1)
+    with pytest.raises(ValueError, match="retain_changelog"):
+        eng.dataset_as_of(1)
