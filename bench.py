@@ -46,6 +46,7 @@ BATTERY = [
     "three_table_join",
     "broadcast_enrich",
     "anti_join_customers",
+    "full_outer_spend",
     "watermark_ranges",
     "hourly_event_counts",
     "union_distinct",

@@ -601,6 +601,43 @@ def three_table_join(sf_dir: str):
     return j2.select_columns(["l_orderkey", "l_linenumber", "o_orderdate", "c_mktsegment"])
 
 
+@_q("full_outer_spend", """
+WITH c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000),
+o AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS total_spend
+      FROM orders GROUP BY o_custkey)
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS cust_key,
+       c.c_acctbal, o.n_orders, o.total_spend
+FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+""")
+def full_outer_spend(sf_dir: str):
+    """FULL OUTER join (the join family's null-preserving member): rich
+    customers vs per-customer order spend — unmatched rows survive from BOTH
+    sides with nulls. Uses bucketed_full_outer_join (hash-bucket -> one
+    shuffle -> per-bucket Acero join; see stages/joins.py for why the native
+    full_outer is unsafe on sparse sides); the order side is pre-aggregated
+    map-side so the exchange moves one row per customer, not per order."""
+    from ray.data.aggregate import Count, Sum
+    from ..stages.joins import bucketed_full_outer_join
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]) \
+        .filter(expr="c_acctbal > 9000")
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]) \
+        .groupby("o_custkey") \
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_totalprice", alias_name="total_spend"))
+    j = bucketed_full_outer_join(cust, orders, "c_custkey", "o_custkey")
+
+    def finish(t: pa.Table) -> pa.Table:
+        # the composition coalesces the key pair into the left name
+        return t.select(["c_custkey", "c_acctbal", "n_orders", "total_spend"]) \
+                .rename_columns(["cust_key", "c_acctbal", "n_orders",
+                                 "total_spend"])
+    # pandas .round matches DuckDB ROUND bit-for-bit (same as q1); pc.round
+    # lands a ULP off on some sums
+    return j.map_batches(finish, batch_format="pyarrow") \
+            .map_batches(_round_cols(2, ["total_spend"]), batch_format="pandas")
+
+
 @_q("anti_join_customers", """
 SELECT c_custkey FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')

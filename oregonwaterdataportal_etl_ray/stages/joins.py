@@ -150,3 +150,66 @@ class MembershipFilter:
         vals = batch.column(self.col).to_numpy(zero_copy_only=False)
         mask = np.isin(vals, self.keys)
         return batch.filter(pa.array(mask if self.keep else ~mask))
+
+
+def bucketed_full_outer_join(left, right, left_on: str, right_on: str,
+                             num_buckets: int | None = None):
+    """FULL OUTER hash join as a composition (hash-bucket -> one shuffle ->
+    per-bucket Acero join).
+
+    Ray Data's native ``join(..., "full_outer")`` builds a schemaless empty
+    table for a hash partition that received no rows from one input and
+    Acero then rejects the key reference — guaranteed to bite whenever one
+    side is sparse relative to the partition count. This composition is
+    empty-side-safe: both sides are conformed to one tagged schema (missing
+    columns as typed nulls), bucketed by ``hash(key) & (nb - 1)``, shuffled
+    ONCE by bucket, and each bucket is joined with pyarrow's vectorized,
+    type-preserving full-outer join (an empty side is just a typed empty
+    table there). The key pair is coalesced into ``left_on``.
+
+    Partitioning assumption (the standard hash-join contract): one bucket's
+    rows from both sides fit a worker. ``num_buckets`` must be a power of
+    two (the default, cluster-derived count is).
+    """
+    import pyarrow.compute as pc
+
+    from ..cdc.merge import bucket_of_keys
+    from .partitioning import derived_num_buckets
+    nb = num_buckets or derived_num_buckets()
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+    overlap = set(l_schema.names) & set(r_schema.names)
+    if overlap:
+        raise ValueError(f"column names must be disjoint, got {overlap}")
+    all_fields = list(l_schema) + list(r_schema)
+
+    def conform(side: int, key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for f in all_fields:
+                cols[f.name] = (t[f.name] if f.name in t.column_names
+                                else pa.nulls(t.num_rows, f.type))
+            k = t[key]
+            if pa.types.is_integer(k.type):
+                b = pc.cast(pc.bit_wise_and(k, nb - 1), pa.int32())
+            else:
+                b = pa.array(bucket_of_keys(pc.cast(k, pa.string()), nb),
+                             pa.int32())
+            cols["__side"] = pa.array(np.full(t.num_rows, side, np.int8))
+            cols["__bucket"] = b
+            return pa.table(cols)
+        return fn
+
+    tagged = left.map_batches(conform(0, left_on), batch_format="pyarrow") \
+        .union(right.map_batches(conform(1, right_on), batch_format="pyarrow"))
+    l_names, r_names = list(l_schema.names), list(r_schema.names)
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        is_l = pc.equal(g["__side"], 0)
+        l = g.filter(is_l).select(l_names)
+        r = g.filter(pc.invert(is_l)).select(r_names)
+        return l.join(r, keys=left_on, right_keys=right_on,
+                      join_type="full outer")
+
+    return tagged.groupby("__bucket").map_groups(merge_group,
+                                                 batch_format="pyarrow")
