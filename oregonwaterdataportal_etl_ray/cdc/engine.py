@@ -166,7 +166,9 @@ def _merge_bucket(group: pa.Table, *, state_dir: str, epoch: int,
     stats["skipped_stale"] += n_stale
     write_manifest(state_dir, BucketManifest(
         bucket=bucket, epoch=epoch, last_applied_lsn=new_last,
-        row_count=row_count, base_file=base_file, runs=runs, stats=stats))
+        row_count=row_count, base_file=base_file, runs=runs, stats=stats,
+        discarded_deltas=m.discarded_deltas or bool(
+            superseded and not retain_changelog)))
     if superseded:
         _unlink_superseded(state_dir, superseded, keep={base_file},
                            retain_changelog=retain_changelog)
@@ -690,6 +692,8 @@ class CdcEngine:
                     m.base_file = base_file
                 m.row_count = 0 if merged is None else \
                     merged.num_rows - merged.column("content").null_count
+                if m.runs and not retain:
+                    m.discarded_deltas = True
                 m.runs = []
                 write_manifest(state_dir, m)
                 _unlink_superseded(state_dir, old_files,
@@ -838,11 +842,15 @@ class CdcEngine:
         — the LWW merge of every retained per-epoch delta up to the cut,
         reconstructed bucket-parallel with no shuffle. Exact only for state
         dirs built with ``retain_changelog=True`` from their first epoch;
-        raises if a compaction has already discarded deltas (a base file
-        exists but nothing was archived for that bucket)."""
+        raises if a compaction has already discarded deltas — detected by
+        the manifest's ``discarded_deltas`` flag (set by any
+        compact-without-archive, even when changelog retention is enabled
+        later in the state dir's life), with the no-changelog-dir heuristic
+        kept as a fallback for manifests written before the flag existed."""
         for m in load_all_manifests(self.state_dir).values():
-            if m.base_file and not os.path.isdir(os.path.join(
-                    self.state_dir, "changelog", f"bucket={m.bucket:05d}")):
+            if m.discarded_deltas or (
+                    m.base_file and not os.path.isdir(os.path.join(
+                        self.state_dir, "changelog", f"bucket={m.bucket:05d}"))):
                 raise ValueError(
                     f"bucket {m.bucket} was compacted without changelog "
                     "retention; as-of reads need retain_changelog=True from "

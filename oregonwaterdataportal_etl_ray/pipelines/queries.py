@@ -399,8 +399,10 @@ def top_tokens(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(t["text"])
-        kept = pa.chunked_array([trimmed]).filter(pc.not_equal(trimmed, ""))
+        # combine_chunks keeps string type on zero-row batches (a 0-chunk
+        # ChunkedArray re-wrapped via pa.chunked_array degrades to null type)
+        trimmed = pc.utf8_trim_whitespace(t["text"].combine_chunks())
+        kept = trimmed.filter(pc.not_equal(trimmed, ""))
         vc = pc.list_flatten(
             pc.split_pattern_regex(kept, r"\s+")).value_counts()
         return pa.table({"token": vc.field("values"),
@@ -489,8 +491,11 @@ def ntile_doc_length(sf_dir: str):
         return pa.table({
             "doc_id": t["doc_id"],
             "decile": pa.array(ntile_of_row_numbers(r, n_total, 10)),
+            # half-away-from-zero to match DuckDB ROUND (np.round is
+            # half-to-even; same mismatch class as QualityScore)
             "pct_rank": pa.array(
-                np.round(r / max(n_total - 1, 1), 6), pa.float64()),
+                np.floor(r / max(n_total - 1, 1) * 1e6 + 0.5) / 1e6,
+                pa.float64()),
         })
     return rn.map_batches(finish, batch_format="pyarrow")
 
@@ -679,13 +684,14 @@ def workbook_split(sf_dir: str):
     materialized read — sheet-count law + column-presence law enforced —
     then each sheet reports (n_rows, sum_value) for the oracle."""
     from ray.data.aggregate import Count, Sum
-    from ..stages.workbook import split_source
+    from ..stages.workbook import split_source, validate_sheet_columns
     sheet_names = ["click", "error", "purchase", "signup", "view"]
     src = read_table(sf_dir, "events",
                      columns=["event_id", "event_type", "value"]).materialize()
     out = split_source(src, "event_type",
                        {s: ["event_id", "value"] for s in sheet_names})
-    assert set(out) == set(sheet_names)  # column laws pinned in tests/test_workbook.py
+    for s, view in out.items():  # column-presence law on every output view
+        validate_sheet_columns(view, ["event_id", "value"], s)
     # oracle summary: ONE grouped pass over the materialized source — the
     # round-2 shape (5 filtered views re-tagged + union) re-scanned the
     # materialized blocks once per sheet
@@ -1821,9 +1827,15 @@ def vocab_topk(sf_dir: str):
             "term": pc.list_flatten(toks).to_pandas()})
         tf = df.groupby("term").size()
         dfreq = df.drop_duplicates(["doc", "term"]).groupby("term").size()
-        return pa.table({"term": tf.index.to_numpy(object),
-                         "tf": tf.to_numpy(np.int64),
-                         "df": dfreq.reindex(tf.index).to_numpy(np.int64)})
+        # explicit string type: an empty/all-blank batch would infer term:
+        # null and break schema unification downstream (same class as the
+        # tfidf_top_terms df_partial fix)
+        return pa.table({"term": pa.array(tf.index.to_numpy(object),
+                                          pa.string()),
+                         "tf": pa.array(tf.to_numpy(np.int64), pa.int64()),
+                         "df": pa.array(
+                             dfreq.reindex(tf.index).to_numpy(np.int64),
+                             pa.int64())})
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby("term")
@@ -2081,7 +2093,9 @@ def _bench_gram_ref(sf_dir: str):
             out.update(grams.tolist())
         return out
 
-    return ray.put(ray.get(bench_grams.remote()))
+    # the task's own ObjectRef IS the broadcast handle — ray.get+ray.put here
+    # would materialize the whole gram set on the driver and copy it twice
+    return bench_grams.remote()
 
 
 @_q("benchmark_decontaminate", r"""
@@ -2106,7 +2120,8 @@ def benchmark_decontaminate(sf_dir: str):
     flag every training document sharing any token 3-gram with the benchmark
     set (here the deterministic doc_id%97 slice standing in for an eval
     suite). Scale shape: the benchmark gram set is eval-suite-sized — built
-    by ONE Ray task from a pruned read and broadcast via ray.put — while the
+    by ONE Ray task from a pruned read and broadcast as that task's object
+    ref — while the
     training side streams through a vectorized n-gram kernel + hash-set
     membership check per batch; no shuffle at all (each row is one doc, so
     per-doc distinct-hit counts are exact within a batch)."""
@@ -2201,7 +2216,9 @@ def tfidf_top_terms(sf_dir: str):
                 zero_copy_only=False)))
         return out
 
-    dref = ray.put(ray.get(build_df_dict.remote(df_ds.to_arrow_refs())))
+    # keep the vocab dict off the driver: the task ref doubles as the
+    # broadcast handle (ray.get+ray.put would copy the whole dict twice)
+    dref = build_df_dict.remote(df_ds.to_arrow_refs())
 
     class Score:
         def __init__(self):
@@ -2434,7 +2451,8 @@ def curation_pipeline(sf_dir: str):
     Scale shape: the heavy ``text`` column is read ONCE and leaves the
     pipeline at the first map_batches — everything that shuffles afterwards
     is a narrow feature row (md5, lang, counts, score, contam flag). The
-    benchmark gram set broadcasts via ray.put (eval-suite-sized); dedup is
+    benchmark gram set broadcasts as the builder task's object ref
+    (eval-suite-sized); dedup is
     the map-side-combine + one bucket-shuffle keep-first; the final stats
     are a tiny groupby over ~n_langs keys."""
     from ray.data.aggregate import Count, Sum

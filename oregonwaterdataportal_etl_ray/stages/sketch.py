@@ -178,6 +178,11 @@ def hll_rows(t: pa.Table, group_col: str, key_col: str,
              p: int = HLL_P) -> pa.Table:
     """map_batches combiner: one 2^p-byte register blob per group per batch."""
     import pandas as pd
+    if t.num_rows == 0:
+        # typed empty partial: a zero-row block (empty file / empty shuffle
+        # partition) must not infer a null group column or index into ks[0]
+        return pa.table({group_col: t[group_col].combine_chunks(),
+                         "hll_regs": pa.array([], pa.binary())})
     keys = t[group_col].to_numpy(zero_copy_only=False)
     hashed = pd.util.hash_array(t[key_col].to_numpy(zero_copy_only=False))
     order = np.argsort(keys, kind="stable")
@@ -235,9 +240,12 @@ def mg_token_partial(t: pa.Table, text_col: str, k: int) -> pa.Table:
     (pa value_counts — an exact table is a zero-error MG summary), then trim
     to <= k entries so the partial's size is fixed no matter the batch."""
     import pyarrow.compute as pc
-    trimmed = pc.utf8_trim_whitespace(t[text_col])
+    # combine_chunks (not pa.chunked_array([...])) keeps the string type on a
+    # zero-row batch — wrapping a 0-chunk ChunkedArray degrades to null type
+    # and split_pattern_regex has no null kernel
+    trimmed = pc.utf8_trim_whitespace(t[text_col].combine_chunks())
     toks = pc.split_pattern_regex(
-        pa.chunked_array([trimmed]).filter(pc.not_equal(trimmed, "")), r"\s+")
+        trimmed.filter(pc.not_equal(trimmed, "")), r"\s+")
     vc = pc.list_flatten(toks).value_counts()
     tokens = vc.field("values").to_numpy(zero_copy_only=False)
     counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -35,6 +35,10 @@ class BucketManifest:
     base_file: str | None = None  # relative to state dir
     runs: list[str] = field(default_factory=list)  # delta runs, oldest first
     stats: dict = field(default_factory=dict)      # cumulative merge stats
+    # True once any delta run was compacted away WITHOUT changelog archival:
+    # time-travel reads are permanently inexact for this bucket (deltas alone
+    # no longer reconstruct any cut). Never reset; old manifests load False.
+    discarded_deltas: bool = False
 
 
 def _tmp_path(final_path: str) -> str:

@@ -102,3 +102,18 @@ def test_asof_refuses_without_retention(corpus, tmp_path, ray_session):
     eng.replay(corpus["files"], epoch_size=1)
     with pytest.raises(ValueError, match="retain_changelog"):
         eng.dataset_as_of(1)
+
+
+def test_asof_refuses_midlife_retention(corpus, tmp_path, ray_session):
+    """retain_changelog enabled only mid-life: early deltas were already
+    discarded un-archived, so as-of must refuse even though a changelog dir
+    now exists (the manifest's discarded_deltas flag, not the dir-existence
+    heuristic, is what catches this)."""
+    state = str(tmp_path / "s3")
+    eng = CdcEngine(state, num_buckets=8, compact_every=2)
+    eng.replay(corpus["files"][:3], epoch_size=1)   # compacts, discards deltas
+    eng2 = CdcEngine(state, num_buckets=8, compact_every=2,
+                     retain_changelog=True)
+    eng2.replay(corpus["files"][3:], epoch_size=1)  # archives from here on
+    with pytest.raises(ValueError, match="retain_changelog"):
+        eng2.dataset_as_of(1)

@@ -127,3 +127,22 @@ def test_top_tokens_sketch_matches_exact(ray_session):
     for t, true_n in exact.head(20).items():
         assert t in approx.index, t
         assert 0 <= true_n - approx[t] <= n_total / 512, (t, true_n, approx[t])
+
+
+def test_partials_survive_zero_row_batches():
+    """Empty blocks (empty parquet file / empty shuffle partition) must
+    produce TYPED empty partials, not crash or degrade to null columns."""
+    import pyarrow as pa
+    from oregonwaterdataportal_etl_ray.stages.sketch import (
+        hll_rows, mg_token_partial)
+    empty_grp = pa.table({"lang": pa.array([], pa.string()),
+                          "user_id": pa.array([], pa.int64())})
+    h = hll_rows(empty_grp, "lang", "user_id")
+    assert h.num_rows == 0 and h.schema.field("lang").type == pa.string()
+    empty_txt = pa.table({"text": pa.array([], pa.string())})
+    m = mg_token_partial(empty_txt, "text", 8)
+    assert m.num_rows == 0 and m.schema.field("token").type == pa.string()
+    # all-whitespace batch: same law (everything filters out pre-split)
+    blank = pa.table({"text": pa.array(["  ", "\t"], pa.string())})
+    m2 = mg_token_partial(blank, "text", 8)
+    assert m2.num_rows == 0 and m2.schema.field("token").type == pa.string()
