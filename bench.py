@@ -200,12 +200,23 @@ def run_cdc(n_events: int, n_epochs: int = 4) -> dict:
     os.sync()
     t0 = time.time()
     eng = CdcEngine(state_dir, num_buckets=64, compact_every=4)
-    eng.replay(files, epoch_size=max(1, len(files) // n_epochs))
+    res = eng.replay(files, epoch_size=max(1, len(files) // n_epochs))
+    t_replay = time.time() - t0
     n_final = eng.final_dataset(with_sha=False).count()
     dt = time.time() - t0
     shutil.rmtree(state_dir, ignore_errors=True)
+    # per-phase attribution (scaling evidence): merge = the stateful
+    # shuffle+merge legs' summed wall; norm_wait = driver wall blocked on
+    # read+normalize (0 when merge fully hides it); scan = final count
+    phases = {
+        "merge_sec": round(sum(r.get("merge_sec", 0) for r in res.epochs), 3),
+        "norm_wait_sec": round(
+            sum(r.get("norm_wait_sec", 0) for r in res.epochs), 3),
+        "scan_sec": round(dt - t_replay, 3),
+    }
     return {"sec": round(dt, 3), "events": n_events,
-            "events_per_sec": round(n_events / dt, 1), "final_rows": n_final}
+            "events_per_sec": round(n_events / dt, 1), "final_rows": n_final,
+            **phases}
 
 
 def run_battery(sf_dir: str) -> dict[str, float]:
@@ -287,8 +298,15 @@ def main() -> None:
         best = {c: max(r["events_per_sec"] for r in rs) for c, rs in runs.items()}
         eff = (best[hi] / best[lo]) / (hi / lo)
         probe = host_probe_efficiency(lo, hi, args.events)
+
+        def phase_of(rs: list[dict]) -> dict:
+            b = min(rs, key=lambda r: r["sec"])  # phases of the best run
+            return {k: b[k] for k in ("merge_sec", "norm_wait_sec", "scan_sec")
+                    if k in b}
         print(json.dumps({
             **probe,
+            f"phases_{lo}cpu": phase_of(runs[lo]),
+            f"phases_{hi}cpu": phase_of(runs[hi]),
             "metric": f"CDC replay scaling efficiency N={lo} -> 4N={hi} CPUs "
                       "(best of repeats; fresh process per run, same input)",
             "value": round(eff, 3), "unit": "efficiency",

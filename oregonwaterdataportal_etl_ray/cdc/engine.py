@@ -38,6 +38,7 @@ import functools
 import json
 import os
 import threading
+import time
 from dataclasses import dataclass, field
 
 import pyarrow as pa
@@ -550,7 +551,12 @@ class CdcEngine:
 
         def run_merge(norm, files, epoch, box):
             try:
+                t0 = time.time()
                 box["rec"] = self._merge_epoch(norm, files, epoch)
+                # per-phase attribution for the scaling evidence: how much
+                # wall the (stateful, serialized) shuffle+merge leg took,
+                # independent of the overlapped read+normalize
+                box["rec"]["merge_sec"] = round(time.time() - t0, 3)
             except BaseException as e:  # surfaced on join
                 box["err"] = e
 
@@ -572,10 +578,16 @@ class CdcEngine:
                     prefetch.submit(self._normalized, todo[nxt][1], target))
                 nxt += 1
 
+        norm_waits: list[float] = []
         try:
             for j, (i, group) in enumerate(todo):
                 top_up(j)
+                t0 = time.time()
                 norm = window.popleft().result().materialize()
+                # wall the driver spent BLOCKED on read+normalize (zero when
+                # the previous epoch's merge fully hid it) — per-phase
+                # attribution for the scaling evidence
+                norm_waits.append(round(time.time() - t0, 3))
                 if prev is not None:
                     prev[0].join()
                     if "err" in prev[1]:
@@ -591,6 +603,8 @@ class CdcEngine:
                 if "err" in prev[1]:
                     raise prev[1]["err"]
                 records.append(prev[1]["rec"])
+            for k, rec in enumerate(records):
+                rec["norm_wait_sec"] = norm_waits[k]
             return records
         finally:
             # error path too: don't leak queued plan builds past the raise
