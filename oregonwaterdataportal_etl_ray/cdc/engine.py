@@ -41,6 +41,7 @@ import threading
 import time
 from dataclasses import dataclass, field
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -57,7 +58,7 @@ from ..state.manifest import (
     write_manifest,
 )
 from .merge import NormalizeEvents, drop_tombstones, merge_sorted_runs, reduce_lww
-from .schema import EvolutionSpec, plan_target_schema
+from .schema import EvolutionSpec, conform_schema, plan_target_schema
 
 # serializes lazy read-plan builds across prefetch threads (see _normalized)
 _PLAN_BUILD_LOCK = threading.Lock()
@@ -176,6 +177,38 @@ def _merge_bucket(group: pa.Table, *, state_dir: str, epoch: int,
     return _stats_row(bucket=bucket, epoch=epoch, applied=fresh.num_rows,
                       upserts=n_up, deletes=n_del, skipped_stale=n_stale,
                       last_applied_lsn=new_last, committed=True)
+
+
+def _bootstrap_bucket(group: pa.Table, *, state_dir: str, epoch: int) -> pa.Table:
+    """Write one bucket of an initial snapshot DIRECTLY as its base file +
+    manifest — no per-event merge. Exactly-once under Ray task retry exactly
+    like _merge_bucket: an already-committed manifest short-circuits, and a
+    duplicate attempt regenerates byte-identical content."""
+    bucket = int(group.column("bucket")[0].as_py())
+    m = load_manifest(state_dir, bucket)
+    if m is not None and m.epoch >= epoch:
+        return pa.table({"bucket": pa.array([bucket], pa.int32()),
+                         "rows": pa.array([0], pa.int64()),
+                         "live": pa.array([m.row_count], pa.int64()),
+                         "deletes": pa.array([0], pa.int64()),
+                         "max_lsn": pa.array([m.last_applied_lsn], pa.int64())})
+    fresh = reduce_lww(group).sort_by(
+        [("repo", "ascending"), ("path", "ascending")])
+    n_del = fresh.column("content").null_count
+    live = fresh.num_rows - n_del
+    base = f"data/bucket={bucket:05d}/base-{epoch:05d}.parquet"
+    atomic_write_table(os.path.join(state_dir, base), fresh)
+    max_lsn = int(pc.max(fresh.column("lsn")).as_py())
+    write_manifest(state_dir, BucketManifest(
+        bucket=bucket, epoch=epoch, last_applied_lsn=max_lsn,
+        row_count=live, base_file=base, runs=[],
+        stats={"upserts": live, "deletes": n_del,
+               "skipped_stale": group.num_rows - fresh.num_rows}))
+    return pa.table({"bucket": pa.array([bucket], pa.int32()),
+                     "rows": pa.array([group.num_rows], pa.int64()),
+                     "live": pa.array([live], pa.int64()),
+                     "deletes": pa.array([n_del], pa.int64()),
+                     "max_lsn": pa.array([max_lsn], pa.int64())})
 
 
 class _ReadBucket:
@@ -343,6 +376,9 @@ class CdcEngine:
         # volume, like any CDC retention window; prune by deleting old
         # changelog/bucket=*/run-<epoch>.parquet files.
         self.retain_changelog = retain_changelog
+        # lazy-loaded snapshot-cut watermark (see bootstrap()); tuple marks
+        # "loaded" so a dir without one is not re-stat'd every epoch
+        self._bootstrap_wm_cache: tuple | None = None
         os.makedirs(state_dir, exist_ok=True)
 
     @staticmethod
@@ -384,6 +420,92 @@ class CdcEngine:
         epochs.append(record)
         atomic_write_bytes(self._epochs_path(),
                            json.dumps(epochs, sort_keys=True).encode())
+
+    # ---- bootstrap (the full-load half of full-load + CDC) -------------
+    def _bootstrap_path(self) -> str:
+        return os.path.join(self.state_dir, "bootstrap.json")
+
+    def bootstrap_lsn(self) -> int | None:
+        """The snapshot-cut LSN recorded by :meth:`bootstrap`, or None for a
+        state dir built purely from change replay."""
+        if self._bootstrap_wm_cache is None:
+            p = self._bootstrap_path()
+            lsn = None
+            if os.path.exists(p):
+                with open(p) as f:
+                    lsn = int(json.load(f)["as_of_lsn"])
+            self._bootstrap_wm_cache = (lsn,)
+        return self._bootstrap_wm_cache[0]
+
+    def bootstrap(self, snapshot: "ray.data.Dataset",
+                  as_of_lsn: int | None = None) -> int:
+        """Distributed initial snapshot load — the full-load half of a
+        full-load-then-CDC migration (the public Debezium snapshot-mode /
+        DMS full-load shape). ``snapshot`` is the CURRENT table state (one
+        row per key, same columns as the change stream); it runs through the
+        same normalize stage as change batches (schema conform, LSN from
+        commit, key-hash bucket), LWW-collapses per bucket (tolerating
+        accidental duplicate keys), and each bucket's rows are written
+        DIRECTLY as its base file + manifest at epoch 0 — one shuffle, no
+        per-event merge. ONE scale-shaped pass: nothing materializes on the
+        driver.
+
+        ``as_of_lsn``: the LSN the snapshot is consistent as of. Subsequent
+        :meth:`replay` calls drop events at-or-below this cut (they are
+        already reflected in the snapshot, whose tombstones were NOT carried
+        over — without the cut filter a re-delivered stale upsert could
+        resurrect a key deleted before the snapshot). Defaults to the
+        snapshot's own max LSN, which is only safe when the source
+        guarantees no pre-cut re-delivery beyond that point.
+
+        Refuses a state dir that has committed lineage or an earlier
+        bootstrap; a bootstrap that CRASHED mid-way may be re-run — buckets
+        with committed manifests short-circuit (exactly-once, same
+        discipline as the merge path). Returns the number of live rows
+        loaded."""
+        if self.committed_epochs() or os.path.exists(self._bootstrap_path()):
+            raise ValueError(
+                "bootstrap requires a fresh state dir (it is the initial "
+                "full load); apply increments with replay()")
+        s = snapshot.schema()
+        base = getattr(s, "base_schema", None)
+        if not isinstance(base, pa.Schema):
+            # pandas-backed Datasets surface numpy dtypes; map them (object
+            # dtype -> string — pass an Arrow-backed Dataset, e.g. from
+            # read_parquet/from_arrow, when exact binary/nested types matter)
+            def at(t):
+                if isinstance(t, pa.DataType):
+                    return t
+                try:
+                    return pa.from_numpy_dtype(np.dtype(t))
+                except (TypeError, pa.ArrowNotImplementedError):
+                    return pa.string()
+            base = pa.schema(
+                [pa.field(n, at(t)) for n, t in zip(s.names, s.types)])
+        target = conform_schema(base, self.evolution)
+        self.save_schema(target)
+        norm = snapshot.map_batches(
+            NormalizeEvents(target_schema=target, num_buckets=self.num_buckets,
+                            evolution=self.evolution),
+            batch_format="pyarrow", batch_size=self.normalize_batch_size)
+        write = functools.partial(_bootstrap_bucket, state_dir=self.state_dir,
+                                  epoch=0)
+        st = (norm.groupby("bucket").map_groups(write, batch_format="pyarrow")
+                  .to_pandas())  # one row per bucket — small
+        n_live = int(st["live"].sum()) if len(st) else 0
+        if as_of_lsn is None:
+            as_of_lsn = int(st["max_lsn"].max()) if len(st) else 0
+        atomic_write_bytes(self._bootstrap_path(),
+                           json.dumps({"as_of_lsn": int(as_of_lsn)}).encode())
+        self._bootstrap_wm_cache = (int(as_of_lsn),)
+        self._commit_epoch({
+            "epoch": 0, "files": ["<bootstrap>"],
+            "applied": int(st["rows"].sum()) if len(st) else 0,
+            "upserts": n_live,
+            "deletes": int(st["deletes"].sum()) if len(st) else 0,
+            "skipped_stale": 0, "buckets_touched": int(len(st)),
+            "bootstrap_as_of_lsn": int(as_of_lsn)})
+        return n_live
 
     # ---- core ----------------------------------------------------------
     def apply_epoch(self, files: list[str], epoch: int,
@@ -429,9 +551,16 @@ class CdcEngine:
         # are serialized among THEMSELVES — they still overlap execution.
         with _PLAN_BUILD_LOCK:
             ds = ray.data.read_parquet(files, override_num_blocks=nblocks)
+        # after a snapshot bootstrap, events at-or-below the snapshot-cut LSN
+        # are already reflected in the loaded state AND their tombstones were
+        # not carried over — re-delivered pre-cut history must drop here or a
+        # stale upsert could resurrect a key deleted before the cut
+        cut = self.bootstrap_lsn()
+        watermarks = ({b: cut for b in range(self.num_buckets)}
+                      if cut is not None else None)
         return ds.map_batches(
             NormalizeEvents(target_schema=target, num_buckets=self.num_buckets,
-                            evolution=self.evolution),
+                            evolution=self.evolution, watermarks=watermarks),
             batch_format="pyarrow",
             batch_size=self.normalize_batch_size,
         )

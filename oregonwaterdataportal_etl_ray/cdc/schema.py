@@ -31,6 +31,19 @@ class EvolutionSpec:
     renames: dict[str, str] = field(default_factory=lambda: {"language": "lang"})
 
 
+def conform_schema(s: pa.Schema, evolution: EvolutionSpec) -> pa.Schema:
+    """Apply renames + strict core-column validation + stable ordering to one
+    already-known Arrow schema (the non-file half of plan_target_schema —
+    used when the input is a Dataset, e.g. a bootstrap snapshot)."""
+    renamed = pa.schema(
+        [pa.field(evolution.renames.get(f.name, f.name), f.type) for f in s])
+    missing = [c for c in CORE_COLUMNS if renamed.get_field_index(c) < 0]
+    if missing:
+        raise ValueError(f"input missing core columns after remap: {missing}")
+    extras = [f for f in renamed if f.name not in CORE_COLUMNS]
+    return pa.schema([renamed.field(c) for c in CORE_COLUMNS] + extras)
+
+
 def plan_target_schema(paths: list[str], evolution: EvolutionSpec) -> pa.Schema:
     """Unify the schemas of all input files (footer metadata only).
 

@@ -67,6 +67,20 @@ def main(argv: list[str] | None = None) -> int:
                          "compaction (enables the changelog subcommand and "
                          "time-travel reads) instead of unlinking them")
 
+    bp = sub.add_parser("bootstrap", help="initial snapshot full-load: write "
+                        "the current table state (parquet dir, one row per "
+                        "key) directly as per-bucket base files, then apply "
+                        "increments with replay (events at-or-below the cut "
+                        "LSN are dropped as already-reflected)")
+    bp.add_argument("--snapshot-dir", required=True)
+    bp.add_argument("--state-dir", required=True)
+    bp.add_argument("--as-of-lsn", type=int, default=None,
+                    help="LSN the snapshot is consistent as of (default: the "
+                         "snapshot's own max LSN)")
+    bp.add_argument("--num-buckets", type=int, default=64)
+    bp.add_argument("--compact-every", type=int, default=4)
+    bp.add_argument("--rename", action="append", metavar="OLD=NEW")
+
     xp = sub.add_parser("export")
     xp.add_argument("--state-dir", required=True)
     xp.add_argument("--out", required=True)
@@ -134,6 +148,13 @@ def main(argv: list[str] | None = None) -> int:
             "upserts": res.n_upserts, "deletes": res.n_deletes,
             "skipped_stale": res.n_skipped,
         }))
+    elif args.cmd == "bootstrap":
+        import ray
+        snap = ray.data.read_parquet(sorted(
+            glob.glob(os.path.join(args.snapshot_dir, "*.parquet"))))
+        n = eng.bootstrap(snap, as_of_lsn=args.as_of_lsn)
+        print(json.dumps({"live_rows": n,
+                          "as_of_lsn": eng.bootstrap_lsn()}))
     elif args.cmd == "tail":
         res = eng.tail(args.events_dir, epoch_size=args.epoch_size,
                        poll_interval_s=args.poll_interval,

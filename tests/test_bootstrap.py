@@ -1,0 +1,96 @@
+"""Snapshot bootstrap — the full-load half of a full-load-then-CDC migration.
+
+Laws (public Debezium snapshot-mode / DMS full-load semantics):
+  1. bootstrap(snapshot as of L) + replay(ALL files, full pre-cut overlap)
+     converges to exactly the full-replay oracle — re-delivered pre-cut
+     history is a no-op, and a stale pre-cut upsert can NOT resurrect a key
+     that was deleted before the cut (the snapshot carries no tombstones).
+  2. The cut LSN persists in the state dir; a fresh engine instance (new
+     process) applies the same drop filter.
+  3. A bootstrapped or lineage-bearing state dir refuses a second bootstrap.
+"""
+
+import glob
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+
+from oregonwaterdataportal_etl_ray.cdc import CdcEngine, oracle_replay
+from oregonwaterdataportal_etl_ray.fixtures import (
+    GeneratorSpec,
+    generate_change_events,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events")
+    # deletes + heavy out-of-order so pre-cut stale history really overlaps
+    return generate_change_events(str(d), GeneratorSpec(
+        n_events=10_000, n_repos=25, paths_per_repo=20, n_batches=8,
+        seed=71, dup_rate=0.08, shuffle_frac=0.35, delete_rate=0.10))
+
+
+@pytest.fixture(scope="module")
+def snapshot_and_cut(corpus):
+    """Exact LWW state of all events with lsn <= median cut, deletes applied
+    (tombstoned keys absent) — what a consistent source snapshot looks like."""
+    ev = pd.concat([pq.read_table(f).to_pandas() for f in corpus["files"]],
+                   ignore_index=True)
+    ev["lsn"] = ev["commit"].str[:12].astype("int64")
+    cut = int(ev["lsn"].quantile(0.5))
+    pre = ev[ev["lsn"] <= cut].sort_values("lsn", kind="stable")
+    snap = pre.groupby(["repo", "path"], as_index=False, sort=False).tail(1)
+    snap = snap[snap["content"].notna()][
+        ["repo", "path", "commit", "lang", "content"]].reset_index(drop=True)
+    return snap, cut
+
+
+def test_bootstrap_overlap_replay_converges(corpus, snapshot_and_cut,
+                                            tmp_path, ray_session):
+    snap, cut = snapshot_and_cut
+    eng = CdcEngine(str(tmp_path / "s"), num_buckets=8, compact_every=3)
+    n = eng.bootstrap(ray.data.from_pandas(snap), as_of_lsn=cut)
+    assert n == len(snap)
+    # replay EVERYTHING, including all pre-cut files (worst-case overlap)
+    eng.replay(corpus["files"], epoch_size=2)
+    got = eng.final_table().to_pandas()[
+        ["repo", "path", "lsn", "sha256"]].reset_index(drop=True)
+    want = oracle_replay(corpus["files"])[
+        ["repo", "path", "lsn", "sha256"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_bootstrap_cut_persists_across_instances(corpus, snapshot_and_cut,
+                                                 tmp_path, ray_session):
+    snap, cut = snapshot_and_cut
+    state = str(tmp_path / "s2")
+    CdcEngine(state, num_buckets=8).bootstrap(
+        ray.data.from_pandas(snap), as_of_lsn=cut)
+    eng2 = CdcEngine(state, num_buckets=8)          # fresh instance
+    assert eng2.bootstrap_lsn() == cut
+    eng2.replay(corpus["files"], epoch_size=3)      # filter applies here too
+    got = eng2.final_table().to_pandas()[
+        ["repo", "path", "lsn", "sha256"]].reset_index(drop=True)
+    want = oracle_replay(corpus["files"])[
+        ["repo", "path", "lsn", "sha256"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_bootstrap_refuses_nonfresh_dir(corpus, snapshot_and_cut, tmp_path,
+                                        ray_session):
+    snap, cut = snapshot_and_cut
+    state = str(tmp_path / "s3")
+    eng = CdcEngine(state, num_buckets=8)
+    eng.bootstrap(ray.data.from_pandas(snap), as_of_lsn=cut)
+    with pytest.raises(ValueError, match="fresh state dir"):
+        eng.bootstrap(ray.data.from_pandas(snap), as_of_lsn=cut)
+    # a replay-built dir refuses too
+    state2 = str(tmp_path / "s4")
+    eng2 = CdcEngine(state2, num_buckets=8)
+    eng2.replay(corpus["files"][:2], epoch_size=1)
+    with pytest.raises(ValueError, match="fresh state dir"):
+        eng2.bootstrap(ray.data.from_pandas(snap), as_of_lsn=cut)
