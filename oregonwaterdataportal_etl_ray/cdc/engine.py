@@ -42,6 +42,7 @@ import time
 from dataclasses import dataclass, field
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -277,6 +278,87 @@ def _bucket_delta_files(state_dir: str, m: BucketManifest, lo: int = 0,
         if lo <= e and (hi is None or e <= hi):
             out[e] = os.path.join(state_dir, rel)
     return sorted(out.items())
+
+
+class _ViewDeltas:
+    """Task-pool UDF: per-(repo, epoch) increments of a downstream aggregate
+    (live-file count + content bytes) derived from one bucket's retained
+    delta runs — the raw material for INCREMENTAL VIEW MAINTENANCE: a
+    consumer folds these instead of rescanning the table.
+
+    Per key the delta at epoch e is value(winner at e) − value(previous
+    winner), computed vectorized after one (key, epoch) sort — keys are
+    bucket-complete, so a bucket task sees every predecessor it needs. The
+    per-bucket result is pre-aggregated to one row per (repo, epoch), so the
+    downstream shuffle moves O(repos × epochs) rows, never the change rows."""
+
+    def __init__(self, state_dir: str, hi: int | None):
+        self.state_dir, self.hi = state_dir, hi
+
+    @staticmethod
+    def _empty() -> pa.Table:
+        return pa.schema([
+            pa.field("repo", pa.string()), pa.field("epoch", pa.int64()),
+            pa.field("d_files", pa.int64()), pa.field("d_bytes", pa.int64()),
+        ]).empty_table()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .merge import _encode_keys, key_column
+        out = []
+        for b in batch.column("bucket").to_pylist():
+            m = load_manifest(self.state_dir, int(b))
+            if m is None:
+                continue
+            parts = []
+            for e, path in _bucket_delta_files(self.state_dir, m, 0, self.hi):
+                t = pq.read_table(path,
+                                  columns=["repo", "path", "content", "lsn"])
+                parts.append(t.append_column(
+                    "epoch", pa.array([e] * t.num_rows, pa.int64())))
+            if not parts:
+                continue
+            t = pa.concat_tables(parts, promote_options="permissive")
+            codes, _ = _encode_keys(key_column(t))
+            epoch = t["epoch"].to_numpy(zero_copy_only=False)
+            lsn = t["lsn"].to_numpy(zero_copy_only=False)
+            live = pc.is_valid(t["content"]).to_numpy(zero_copy_only=False)
+            nbytes = pc.binary_length(pc.fill_null(t["content"], "")) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((epoch, codes))
+            codes, epoch, lsn = codes[order], epoch[order], lsn[order]
+            live, nbytes = live[order].astype(np.int64), nbytes[order]
+            # The key's CURRENT value at epoch e is the max-LSN row among
+            # deltas <= e, NOT the latest-epoch row — cross-epoch
+            # out-of-order delivery stores stale rows in later runs that the
+            # LWW merge-on-read ignores (same rule as merge_sorted_runs).
+            # Track the running winner per key: a row updates the view only
+            # when its lsn reaches the key's cummax (ties are verbatim
+            # duplicate deliveries, so >= is value-neutral).
+            idx = np.arange(len(codes))
+            cummax = pd.Series(lsn).groupby(codes).cummax().to_numpy()
+            seg_start = np.r_[True, codes[1:] != codes[:-1]]
+            prev_cummax = np.r_[0, cummax[:-1]]
+            new_winner = seg_start | (lsn >= prev_cummax)
+            widx = np.maximum.accumulate(np.where(new_winner, idx, -1))
+            f_now = live[widx]
+            v_now = np.where(f_now.astype(bool), nbytes[widx], 0)
+            prev_f = np.where(seg_start, 0, np.r_[0, f_now[:-1]])
+            prev_v = np.where(seg_start, 0, np.r_[0, v_now[:-1]])
+            d_files = f_now - prev_f
+            d_bytes = v_now - prev_v
+            repos = t["repo"].take(pa.array(order))
+            df = pd.DataFrame({"repo": repos.to_pandas(), "epoch": epoch,
+                               "d_files": d_files, "d_bytes": d_bytes})
+            agg = df.groupby(["repo", "epoch"], sort=False, as_index=False).sum()
+            out.append(pa.table({
+                "repo": pa.array(agg["repo"], pa.string()),
+                "epoch": pa.array(agg["epoch"].to_numpy(np.int64), pa.int64()),
+                "d_files": pa.array(agg["d_files"].to_numpy(np.int64), pa.int64()),
+                "d_bytes": pa.array(agg["d_bytes"].to_numpy(np.int64), pa.int64()),
+            }))
+        if not out:
+            return self._empty()
+        return pa.concat_tables(out)
 
 
 class _ReadChangelog:
@@ -978,6 +1060,44 @@ class CdcEngine:
         ds = ray.data.from_items([{"bucket": b} for b in sorted(manifests)])
         return ds.map_batches(_ReadChangelog(self.state_dir, lo, hi),
                               batch_format="pyarrow", batch_size=2)
+
+    def view_deltas(self, hi: int | None = None) -> "ray.data.Dataset":
+        """Incremental view maintenance over the changelog: per-(repo, epoch)
+        increments ``(d_files, d_bytes)`` of the canonical downstream
+        aggregate (live-file count, total content bytes per repo). A
+        consumer folds the deltas for new epochs into its stored view
+        instead of rescanning the table — the standard CDC-consumer pattern
+        for keeping a derived table in sync.
+
+        Pinned law (tests/test_view_deltas.py): cumulative fold of deltas
+        for epochs <= E equals the same aggregate recomputed from
+        :meth:`dataset_as_of` (E). Requires ``retain_changelog=True`` from
+        the state dir's first epoch (same retention rule as as-of reads —
+        the guard below reuses it); a snapshot-bootstrapped dir's epoch-0
+        base is NOT a delta run, so there the fold starts from the
+        bootstrap snapshot's own aggregate, not from zero.
+
+        Scale shape: one task per bucket reads only that bucket's retained
+        delta runs (keys are bucket-complete, so every per-key predecessor
+        is local), computes value-diffs vectorized after one (key, epoch)
+        sort, and pre-aggregates to one row per (repo, epoch) — the only
+        shuffle is the final groupby over O(repos × epochs) rows."""
+        for m in load_all_manifests(self.state_dir).values():
+            if m.discarded_deltas or (
+                    m.base_file and not os.path.isdir(os.path.join(
+                        self.state_dir, "changelog", f"bucket={m.bucket:05d}"))):
+                raise ValueError(
+                    f"bucket {m.bucket} was compacted without changelog "
+                    "retention; view deltas need retain_changelog=True from "
+                    "the state dir's first epoch")
+        from ray.data.aggregate import Sum
+        manifests = load_all_manifests(self.state_dir)
+        ds = ray.data.from_items([{"bucket": b} for b in sorted(manifests)])
+        deltas = ds.map_batches(_ViewDeltas(self.state_dir, hi),
+                                batch_format="pyarrow", batch_size=2)
+        return deltas.groupby(["repo", "epoch"]).aggregate(
+            Sum("d_files", alias_name="d_files"),
+            Sum("d_bytes", alias_name="d_bytes"))
 
     def dataset_as_of(self, epoch: int,
                       with_sha: bool = True) -> "ray.data.Dataset":

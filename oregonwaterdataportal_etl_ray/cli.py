@@ -129,6 +129,10 @@ def main(argv: list[str] | None = None) -> int:
     gp.add_argument("--as-of", type=int, default=None, metavar="EPOCH",
                     help="export the STATE as of this epoch instead of the "
                          "stream (time travel; needs retained changelog)")
+    gp.add_argument("--view-deltas", action="store_true",
+                    help="export per-(repo, epoch) aggregate increments "
+                         "(d_files, d_bytes) for incremental view "
+                         "maintenance instead of the row stream")
     gp.add_argument("--num-buckets", type=int, default=64)
     gp.add_argument("--compact-every", type=int, default=4)
     gp.add_argument("--rename", action="append", metavar="OLD=NEW")
@@ -170,14 +174,15 @@ def main(argv: list[str] | None = None) -> int:
                           "buckets_written": len(new_eng.lineage())}))
     elif args.cmd == "changelog":
         if args.as_of is not None:
-            ds = eng.dataset_as_of(args.as_of)
+            ds, mode = eng.dataset_as_of(args.as_of), "as_of"
+        elif getattr(args, "view_deltas", False):
+            ds, mode = eng.view_deltas(hi=args.hi), "view_deltas"
         else:
-            ds = eng.changelog_dataset(lo=args.lo, hi=args.hi)
+            ds, mode = eng.changelog_dataset(lo=args.lo, hi=args.hi), "stream"
         ds.write_parquet(args.out)
         import ray
         n = ray.data.read_parquet(args.out).count()
-        print(json.dumps({"out": args.out, "rows": n,
-                          "mode": "as_of" if args.as_of is not None else "stream"}))
+        print(json.dumps({"out": args.out, "rows": n, "mode": mode}))
     elif args.cmd == "export":
         ds = eng.final_dataset(with_sha=not args.no_sha)
         ds.write_parquet(args.out)
