@@ -1046,6 +1046,49 @@ class CdcEngine:
             batch_format="pyarrow", batch_size=2,
         )
 
+    def export_partitioned(self, out_dir: str,
+                           with_sha: bool = True) -> dict:
+        """Resumable partitioned export: one ``part-bucket=B.parquet`` per
+        state bucket, written tmp+atomic-rename. A task whose output file
+        ALREADY EXISTS skips it entirely (merge-on-read not even performed),
+        so a killed export re-run finishes only the missing partitions —
+        the write-side analog of replay's file-set resume. Output files are
+        deterministic for a given committed state, so a retried task that
+        raced a completed one re-creates identical bytes.
+
+        Returns {"written": n, "skipped": n}. Never one giant file: each
+        bucket is its own part, sized by the bucket layout (reshard first
+        if parts need resizing). The skip is by file EXISTENCE — resuming
+        is only valid against the same committed state; exporting after
+        further replay must target a fresh out_dir (or delete stale parts),
+        exactly like any snapshot directory."""
+        os.makedirs(out_dir, exist_ok=True)
+        state_dir = self.state_dir
+
+        def export_batch(batch: pa.Table) -> pa.Table:
+            reader = _ReadBucket(state_dir, with_sha)
+            written, skipped = [], []
+            for b in batch.column("bucket").to_pylist():
+                dst = os.path.join(out_dir, f"part-bucket={int(b):05d}.parquet")
+                if os.path.exists(dst):
+                    skipped.append(int(b))
+                    continue
+                t = reader(pa.table({"bucket": pa.array([int(b)], pa.int32())}))
+                atomic_write_table(dst, t)
+                written.append(int(b))
+            n = len(written) + len(skipped)
+            return pa.table({
+                "bucket": pa.array(written + skipped, pa.int32()),
+                "written": pa.array([True] * len(written) +
+                                    [False] * len(skipped), pa.bool_())})
+
+        manifests = load_all_manifests(self.state_dir)
+        ds = ray.data.from_items([{"bucket": b} for b in sorted(manifests)])
+        st = ds.map_batches(export_batch, batch_format="pyarrow",
+                            batch_size=2).to_pandas()
+        return {"written": int(st["written"].sum()) if len(st) else 0,
+                "skipped": int((~st["written"]).sum()) if len(st) else 0}
+
     def changelog_dataset(self, lo: int = 0,
                           hi: int | None = None) -> "ray.data.Dataset":
         """Downstream change stream (Debezium-style CDC output): one row per

@@ -88,6 +88,10 @@ def main(argv: list[str] | None = None) -> int:
     xp.add_argument("--compact-every", type=int, default=4)
     xp.add_argument("--rename", action="append", metavar="OLD=NEW")
     xp.add_argument("--no-sha", action="store_true")
+    xp.add_argument("--resumable", action="store_true",
+                    help="one part file per bucket, tmp+atomic-rename, "
+                         "existing parts skipped — a killed export re-run "
+                         "finishes only the missing partitions")
 
     tp = sub.add_parser("tail")
     tp.add_argument("--events-dir", required=True)
@@ -184,12 +188,17 @@ def main(argv: list[str] | None = None) -> int:
         n = ray.data.read_parquet(args.out).count()
         print(json.dumps({"out": args.out, "rows": n, "mode": mode}))
     elif args.cmd == "export":
-        ds = eng.final_dataset(with_sha=not args.no_sha)
-        ds.write_parquet(args.out)
-        # metadata-only count of the written files — never re-runs the merge
         import ray
-        n = ray.data.read_parquet(args.out).count()
-        print(json.dumps({"out": args.out, "rows": n}))
+        if args.resumable:
+            st = eng.export_partitioned(args.out, with_sha=not args.no_sha)
+            n = ray.data.read_parquet(args.out).count()
+            print(json.dumps({"out": args.out, "rows": n, **st}))
+        else:
+            ds = eng.final_dataset(with_sha=not args.no_sha)
+            ds.write_parquet(args.out)
+            # metadata-only count of the written files — never re-runs the merge
+            n = ray.data.read_parquet(args.out).count()
+            print(json.dumps({"out": args.out, "rows": n}))
     else:
         lineage = {b: {"epoch": m.epoch, "last_applied_lsn": m.last_applied_lsn,
                        "row_count": m.row_count, "runs": len(m.runs),

@@ -94,3 +94,29 @@ def test_bootstrap_refuses_nonfresh_dir(corpus, snapshot_and_cut, tmp_path,
     eng2.replay(corpus["files"][:2], epoch_size=1)
     with pytest.raises(ValueError, match="fresh state dir"):
         eng2.bootstrap(ray.data.from_pandas(snap), as_of_lsn=cut)
+
+
+def test_export_partitioned_resumes(corpus, tmp_path, ray_session):
+    """Resumable export: one part per bucket, existing parts skipped, and a
+    partial dir completed by a re-run equals the full table."""
+    import os
+    import pyarrow.parquet as pq2
+    eng = CdcEngine(str(tmp_path / "s5"), num_buckets=8, compact_every=3)
+    eng.replay(corpus["files"], epoch_size=2)
+    out = str(tmp_path / "out")
+    st = eng.export_partitioned(out)
+    assert st["written"] > 0 and st["skipped"] == 0
+    parts = sorted(p for p in os.listdir(out) if p.endswith(".parquet"))
+    assert parts and all(p.startswith("part-bucket=") for p in parts)
+    # simulate a killed export: delete two parts, re-run, only those rewrite
+    for p in parts[:2]:
+        os.unlink(os.path.join(out, p))
+    st2 = eng.export_partitioned(out)
+    assert st2 == {"written": 2, "skipped": st["written"] - 2}
+    got = pd.concat([pq2.read_table(os.path.join(out, p)).to_pandas()
+                     for p in sorted(os.listdir(out)) if p.endswith(".parquet")],
+                    ignore_index=True).sort_values(["repo", "path"])
+    want = eng.final_table().to_pandas()
+    pd.testing.assert_frame_equal(
+        got[["repo", "path", "lsn", "sha256"]].reset_index(drop=True),
+        want[["repo", "path", "lsn", "sha256"]].reset_index(drop=True))
