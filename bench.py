@@ -67,6 +67,7 @@ BATTERY = [
     "doc_fingerprint",
     "redact_numbers",
     "winnow_fingerprints",
+    "lm_perplexity",
     "sample_by_content_hash",
     "pack_documents",
     "entity_graph_write",

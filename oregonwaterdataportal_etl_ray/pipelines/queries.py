@@ -1163,6 +1163,42 @@ def pack_documents(sf_dir: str):
                    .map_groups(pack_group, batch_format="pyarrow"))
 
 
+@_q("lm_perplexity")
+def lm_perplexity(sf_dir: str):
+    """Byte-bigram LM perplexity scoring (LM-based quality filtering per the
+    public CCNet / Gopher descriptions): TRAIN the LM over the whole corpus
+    in one distributed pass — per-block sparse bigram counts (<= 65,536
+    rows each, never the text) -> one small groupby-sum -> densified to an
+    int64[65536] vector inside ONE Ray task whose ObjectRef is the
+    broadcast handle (the driver never holds it) — then SCORE every
+    document's mean bigram negative log-likelihood in an actor-pool
+    map_batches (model built once per actor in __init__). Rows-only: the
+    byte-level explode has no reasonable SQL oracle; the ordering,
+    determinism and smoothing laws are pinned in tests/test_stages.py."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import BigramLmScorer, byte_bigram_counts
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    sparse = (ds.map_batches(byte_bigram_counts, batch_format="pyarrow")
+                .groupby("gram").aggregate(Sum("n", alias_name="n")))
+
+    @ray.remote
+    def densify(refs) -> np.ndarray:
+        counts = np.zeros(65536, np.int64)
+        for r in refs:
+            t = ray.get(r)
+            if t.num_rows and "gram" in t.column_names:
+                counts[t["gram"].to_numpy(zero_copy_only=False)] += \
+                    t["n"].to_numpy(zero_copy_only=False)
+        return counts
+
+    cref = densify.remote(sparse.to_arrow_refs())
+    return ds.map_batches(BigramLmScorer,
+                          fn_constructor_kwargs={"counts_ref": cref},
+                          batch_format="pyarrow", concurrency=_conc())
+
+
 @_q("winnow_fingerprints")
 def winnow_fingerprints(sf_dir: str):
     """Winnowing document fingerprints (rolling k-gram hashes + sliding

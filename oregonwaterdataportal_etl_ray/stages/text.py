@@ -231,3 +231,61 @@ def token_ngrams(col: "pa.ChunkedArray | pa.Array", n: int = 3
     for j in range(1, n):
         s = s + " " + pd.Series(flat[starts + j], copy=False)
     return row_map[parents[starts]], s.to_numpy()
+
+
+# ---------------------------------------------------------------------------
+# byte-bigram language model — perplexity quality filter
+# ---------------------------------------------------------------------------
+
+def byte_bigram_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """map_batches combiner for LM TRAINING: exact byte-bigram counts of one
+    block as a sparse (gram, n) table. The gram id is ``b0*256 + b1`` —
+    computed for every document in one vectorized pass (the shared
+    rolling-hash kernel with base 256 IS the bigram id for k=2), so the
+    shuffle that follows moves <= 65,536 rows per block, never the text.
+    Used by the lm_perplexity pipeline (byte-LM perplexity filtering per the
+    public CCNet / Gopher quality-filter descriptions)."""
+    from .dedup import _batch_rolling_hashes
+    ids, _, _ = _batch_rolling_hashes(batch[text_col], 2, np.uint64(256),
+                                      pad_short=False)
+    counts = np.bincount(ids.astype(np.int64), minlength=65536)
+    gram = np.flatnonzero(counts)
+    return pa.table({"gram": pa.array(gram.astype(np.int64), pa.int64()),
+                     "n": pa.array(counts[gram], pa.int64())})
+
+
+class BigramLmScorer:
+    """Stateful map_batches stage: mean byte-bigram negative log-likelihood
+    (bits per bigram) of each document under a broadcast count table —
+    the train-once / broadcast / batch-score shape of an LM-based quality
+    filter. ``counts_ref`` is the ObjectRef of a dense int64[65536] vector
+    (built by ONE Ray task from the aggregated sparse counts — the driver
+    never holds it); add-alpha smoothing keeps unseen bigrams finite.
+
+    The per-document mean is one np.bincount(doc_idx, weights=logp) over the
+    batch's concatenated bytes — no per-document Python loop. Documents with
+    no bigram (len < 2 bytes) emit nothing."""
+
+    def __init__(self, counts_ref, alpha: float = 0.5,
+                 text_col: str = "text"):
+        import ray
+        counts = ray.get(counts_ref).astype(np.float64).reshape(256, 256)
+        row = counts.sum(axis=1, keepdims=True)
+        with np.errstate(divide="ignore"):
+            self.nll_bits = -np.log2(
+                (counts + alpha) / (row + alpha * 256)).ravel()
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .dedup import _batch_rolling_hashes
+        ids, doc_idx, n = _batch_rolling_hashes(
+            batch[self.text_col], 2, np.uint64(256), pad_short=False)
+        per_doc = np.bincount(doc_idx, weights=self.nll_bits[ids.astype(np.int64)],
+                              minlength=n)
+        counts = np.bincount(doc_idx, minlength=n)
+        keep = counts > 0
+        bits = per_doc[keep] / counts[keep]
+        out = batch.filter(pa.array(keep)).select(["doc_id"])
+        # half-away rounding, stable across summation orders at 1e-6
+        return out.append_column("nll_bits", pa.array(
+            np.floor(bits * 1e6 + 0.5) / 1e6, pa.float64()))

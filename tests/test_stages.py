@@ -437,3 +437,35 @@ def test_benchmark_decontaminate_flags_planted_overlap(ray_session, tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype({"n_hits": "int64"}), 
                                   want.astype({"n_hits": "int64"}))
+
+
+def test_bigram_lm_scores_natural_text_better(ray_session):
+    """LM-perplexity quality-filter laws: (1) in-distribution text scores
+    strictly fewer bits than byte-shuffled text under a model trained on the
+    corpus; (2) scoring is deterministic; (3) docs shorter than one bigram
+    emit nothing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray as _ray
+    from oregonwaterdataportal_etl_ray.stages.text import (
+        BigramLmScorer, byte_bigram_counts)
+    corpus = ["the quick brown fox jumps over the lazy dog. " * 20,
+              "pack my box with five dozen liquor jugs. " * 20] * 10
+    sparse = byte_bigram_counts(pa.table({"text": pa.array(corpus)}))
+    counts = np.zeros(65536, np.int64)
+    counts[sparse["gram"].to_numpy(zero_copy_only=False)] = \
+        sparse["n"].to_numpy(zero_copy_only=False)
+    ref = _ray.put(counts)
+    natural = "the quick brown dog jumps over the lazy fox. "
+    rng = np.random.default_rng(7)
+    shuffled = bytes(rng.permutation(
+        np.frombuffer(natural.encode(), np.uint8))).decode("latin-1")
+    scorer = BigramLmScorer(ref)
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array([natural, shuffled, "x"])})
+    out = scorer(t)
+    assert out["doc_id"].to_pylist() == [1, 2]   # "x" has no bigram
+    nat, shuf = out["nll_bits"].to_pylist()
+    assert nat < shuf, (nat, shuf)
+    out2 = scorer(t)
+    assert out.equals(out2)
