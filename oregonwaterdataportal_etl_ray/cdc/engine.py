@@ -181,10 +181,15 @@ def _merge_bucket(group: pa.Table, *, state_dir: str, epoch: int,
 
 
 def _bootstrap_bucket(group: pa.Table, *, state_dir: str, epoch: int) -> pa.Table:
-    """Write one bucket of an initial snapshot DIRECTLY as its base file +
-    manifest — no per-event merge. Exactly-once under Ray task retry exactly
-    like _merge_bucket: an already-committed manifest short-circuits, and a
-    duplicate attempt regenerates byte-identical content."""
+    """Write one bucket of an initial snapshot DIRECTLY as its epoch-0 DELTA
+    RUN + manifest — no per-event merge. It is a run (not a base) so the
+    snapshot participates in the LSM uniformly: under retain_changelog the
+    first compaction archives it into ``changelog/`` like any delta, making
+    time-travel reads and the change stream complete from epoch 0 (the
+    snapshot surfaces as Debezium-style snapshot-read upserts). Exactly-once
+    under Ray task retry exactly like _merge_bucket: an already-committed
+    manifest short-circuits, and a duplicate attempt regenerates
+    byte-identical content."""
     bucket = int(group.column("bucket")[0].as_py())
     m = load_manifest(state_dir, bucket)
     if m is not None and m.epoch >= epoch:
@@ -197,12 +202,12 @@ def _bootstrap_bucket(group: pa.Table, *, state_dir: str, epoch: int) -> pa.Tabl
         [("repo", "ascending"), ("path", "ascending")])
     n_del = fresh.column("content").null_count
     live = fresh.num_rows - n_del
-    base = f"data/bucket={bucket:05d}/base-{epoch:05d}.parquet"
-    atomic_write_table(os.path.join(state_dir, base), fresh)
+    rel = f"data/bucket={bucket:05d}/run-{epoch:05d}.parquet"
+    atomic_write_table(os.path.join(state_dir, rel), fresh)
     max_lsn = int(pc.max(fresh.column("lsn")).as_py())
     write_manifest(state_dir, BucketManifest(
         bucket=bucket, epoch=epoch, last_applied_lsn=max_lsn,
-        row_count=live, base_file=base, runs=[],
+        row_count=live, base_file=None, runs=[rel],
         stats={"upserts": live, "deletes": n_del,
                "skipped_stale": group.num_rows - fresh.num_rows}))
     return pa.table({"bucket": pa.array([bucket], pa.int32()),
@@ -462,6 +467,20 @@ class CdcEngine:
         # "loaded" so a dir without one is not re-stat'd every epoch
         self._bootstrap_wm_cache: tuple | None = None
         os.makedirs(state_dir, exist_ok=True)
+        # Persist the retention choice: a later engine over the same dir
+        # that forgets the flag (e.g. a bare `cli compact`) would otherwise
+        # unlink the delta runs and irreversibly break changelog/as-of
+        # reads. The marker lets callers auto-detect (retention_enabled).
+        if retain_changelog:
+            p = os.path.join(state_dir, "retain_changelog.json")
+            if not os.path.exists(p):
+                atomic_write_bytes(p, b'{"retain_changelog": true}')
+
+    @staticmethod
+    def retention_enabled(state_dir: str) -> bool:
+        """True if this state dir was ever run with ``retain_changelog=True``
+        (persisted marker — see __init__)."""
+        return os.path.exists(os.path.join(state_dir, "retain_changelog.json"))
 
     @staticmethod
     def _default_concurrency() -> tuple[int, int]:
@@ -528,9 +547,13 @@ class CdcEngine:
         same normalize stage as change batches (schema conform, LSN from
         commit, key-hash bucket), LWW-collapses per bucket (tolerating
         accidental duplicate keys), and each bucket's rows are written
-        DIRECTLY as its base file + manifest at epoch 0 — one shuffle, no
+        DIRECTLY as its epoch-0 delta run + manifest — one shuffle, no
         per-event merge. ONE scale-shaped pass: nothing materializes on the
-        driver.
+        driver. Because the snapshot is an ordinary delta run, changelog
+        retention, time travel (:meth:`dataset_as_of`) and incremental view
+        folds (:meth:`view_deltas`) treat it uniformly: with
+        ``retain_changelog=True`` the change stream reports the initial load
+        as epoch-0 upserts (the Debezium snapshot-read shape).
 
         ``as_of_lsn``: the LSN the snapshot is consistent as of. Subsequent
         :meth:`replay` calls drop events at-or-below this cut (they are
@@ -968,6 +991,16 @@ class CdcEngine:
         the global min keeps the GC floor exactly where it was. Idempotent:
         a re-run skips new buckets whose manifest already reached the
         target epoch.
+
+        Engine config carries over: the snapshot-cut watermark
+        (``bootstrap.json`` — without it a re-delivered pre-cut stale upsert
+        could resurrect a key deleted before the snapshot), changelog
+        retention and normalize sizing. The changelog itself does NOT: its
+        archived runs live in the OLD bucket space, so new manifests are
+        marked ``discarded_deltas`` and time-travel / view-delta reads on
+        the resharded dir refuse (honestly) rather than silently omit
+        pre-reshard history; the change stream restarts from the reshard
+        point.
         """
         manifests = load_all_manifests(self.state_dir)
         target_epoch = max((m.epoch for m in manifests.values()), default=0)
@@ -976,9 +1009,16 @@ class CdcEngine:
         schema = self.load_schema(self.state_dir)
         new_eng = CdcEngine(new_state_dir, num_buckets=new_num_buckets,
                             evolution=self.evolution,
-                            compact_every=self.compact_every)
+                            compact_every=self.compact_every,
+                            normalize_concurrency=self.normalize_concurrency,
+                            normalize_batch_size=self.normalize_batch_size,
+                            retain_changelog=self.retain_changelog)
         if schema is not None:
             new_eng.save_schema(schema)
+        if os.path.exists(self._bootstrap_path()):
+            with open(self._bootstrap_path(), "rb") as f:
+                atomic_write_bytes(new_eng._bootstrap_path(), f.read())
+            new_eng._bootstrap_wm_cache = None
         atomic_write_bytes(new_eng._epochs_path(),
                            json.dumps(self.committed_epochs(),
                                       sort_keys=True).encode())
@@ -1022,7 +1062,11 @@ class CdcEngine:
                 row_count=t.num_rows - t.column("content").null_count,
                 base_file=rel, runs=[],
                 stats={"upserts": 0, "deletes": 0, "skipped_stale": 0,
-                       "resharded_from": self.num_buckets}))
+                       "resharded_from": self.num_buckets},
+                # the reshard base mixes every pre-reshard epoch; per-epoch
+                # reconstruction through it is impossible in the new bucket
+                # space, so as-of/view-delta reads must refuse, not omit
+                discarded_deltas=True))
             return pa.table({"bucket": pa.array([bucket], pa.int32())})
 
         items = [{"bucket": b} for b in sorted(manifests)]
@@ -1116,9 +1160,9 @@ class CdcEngine:
         for epochs <= E equals the same aggregate recomputed from
         :meth:`dataset_as_of` (E). Requires ``retain_changelog=True`` from
         the state dir's first epoch (same retention rule as as-of reads —
-        the guard below reuses it); a snapshot-bootstrapped dir's epoch-0
-        base is NOT a delta run, so there the fold starts from the
-        bootstrap snapshot's own aggregate, not from zero.
+        the guard below reuses it). A snapshot-bootstrapped dir's initial
+        load is an ordinary epoch-0 delta run, so its fold starts from zero
+        and epoch 0 carries the whole snapshot's aggregate as deltas.
 
         Scale shape: one task per bucket reads only that bucket's retained
         delta runs (keys are bucket-complete, so every per-key predecessor

@@ -43,10 +43,16 @@ def _engine(args):
     from .cdc.engine import CdcEngine
     from .cdc.schema import EvolutionSpec
     renames = dict(kv.split("=", 1) for kv in (args.rename or []))
+    # Retention is sticky: a dir ever written with --retain-changelog keeps
+    # archiving on every later subcommand (compact/tail/...), flag or not —
+    # otherwise one bare `compact` would unlink the deltas and permanently
+    # break the changelog/as-of surface it advertises.
+    retain = (getattr(args, "retain_changelog", False)
+              or CdcEngine.retention_enabled(args.state_dir))
     return CdcEngine(args.state_dir, num_buckets=args.num_buckets,
                      evolution=EvolutionSpec(renames=renames) if renames else None,
                      compact_every=args.compact_every,
-                     retain_changelog=getattr(args, "retain_changelog", False))
+                     retain_changelog=retain)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -69,7 +75,7 @@ def main(argv: list[str] | None = None) -> int:
 
     bp = sub.add_parser("bootstrap", help="initial snapshot full-load: write "
                         "the current table state (parquet dir, one row per "
-                        "key) directly as per-bucket base files, then apply "
+                        "key) directly as per-bucket epoch-0 delta runs, then apply "
                         "increments with replay (events at-or-below the cut "
                         "LSN are dropped as already-reflected)")
     bp.add_argument("--snapshot-dir", required=True)
@@ -80,6 +86,10 @@ def main(argv: list[str] | None = None) -> int:
     bp.add_argument("--num-buckets", type=int, default=64)
     bp.add_argument("--compact-every", type=int, default=4)
     bp.add_argument("--rename", action="append", metavar="OLD=NEW")
+    bp.add_argument("--retain-changelog", action="store_true",
+                    help="archive per-epoch delta runs under changelog/ "
+                         "(auto-detected from the state dir's marker; flag "
+                         "needed only for dirs created before the marker)")
 
     xp = sub.add_parser("export")
     xp.add_argument("--state-dir", required=True)
@@ -102,12 +112,20 @@ def main(argv: list[str] | None = None) -> int:
     tp.add_argument("--num-buckets", type=int, default=64)
     tp.add_argument("--compact-every", type=int, default=4)
     tp.add_argument("--rename", action="append", metavar="OLD=NEW")
+    tp.add_argument("--retain-changelog", action="store_true",
+                    help="archive per-epoch delta runs under changelog/ "
+                         "(auto-detected from the state dir's marker; flag "
+                         "needed only for dirs created before the marker)")
 
     cp = sub.add_parser("compact")
     cp.add_argument("--state-dir", required=True)
     cp.add_argument("--num-buckets", type=int, default=64)
     cp.add_argument("--compact-every", type=int, default=4)
     cp.add_argument("--rename", action="append", metavar="OLD=NEW")
+    cp.add_argument("--retain-changelog", action="store_true",
+                    help="archive per-epoch delta runs under changelog/ "
+                         "(auto-detected from the state dir's marker; flag "
+                         "needed only for dirs created before the marker)")
 
     lp = sub.add_parser("lineage")
     lp.add_argument("--state-dir", required=True)

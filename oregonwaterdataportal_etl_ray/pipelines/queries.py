@@ -483,8 +483,10 @@ def ntile_doc_length(sf_dir: str):
     tie-aware RANK coincides with ROW_NUMBER and both sides agree exactly."""
     from ..stages.window import global_row_number, ntile_of_row_numbers
     ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    n_total = ds.count()
-    rn = global_row_number(ds, ["n_chars", "doc_id"], out_col="__rn")
+    # n_total rides out of the row-number pass (the block counts' cumsum);
+    # a separate ds.count() would re-read the whole table for one integer
+    rn, n_total = global_row_number(ds, ["n_chars", "doc_id"], out_col="__rn",
+                                    return_total=True)
 
     def finish(t: pa.Table) -> pa.Table:
         r = t["__rn"].to_numpy()

@@ -68,12 +68,19 @@ def paginated_dataset(count_fn: Callable[[], int],
                       base_key: str = "",
                       ttl_s: float | None = None,
                       force_fetch: bool = False,
-                      concurrency=(1, 4)) -> "ray.data.Dataset":
+                      concurrency=(1, 4),
+                      schema: pa.Schema | None = None) -> "ray.data.Dataset":
     """Compose the full connector: count -> pages -> cached fetch -> parse.
 
     Returns a Dataset of parsed records (page payloads never leave their
     tasks). ``fetch_fn`` receives page-key strings and must return one
-    payload (bytes) per key, in order — the CachedFetchStage contract."""
+    payload (bytes) per key, in order — the CachedFetchStage contract.
+
+    ``schema``: the record schema, used to type a batch whose pages ALL
+    parse to zero records (upstream count over-reports, trailing partial
+    page). Without it such a batch cannot be typed — a 0-column block would
+    silently give the Dataset inconsistent block schemas — so the parse
+    task fails loud and asks for it."""
     total = count_fn()
     if total == 0:
         raise ValueError("upstream returned count=0 — nothing to fetch "
@@ -93,7 +100,12 @@ def paginated_dataset(count_fn: Callable[[], int],
                              f"(first: {dead[0]!r})")
         tables = [t for t in map(parse_page, payloads) if t.num_rows]
         if not tables:
-            return pa.table({})
+            if schema is not None:
+                return schema.empty_table()
+            raise ValueError(
+                "a page batch parsed to zero records and no record schema "
+                "was declared — pass schema= to paginated_dataset so empty "
+                "batches stay schema-consistent with the rest of the stream")
         return pa.concat_tables(tables, promote_options="permissive")
 
     fetched = pages.map_batches(

@@ -57,6 +57,11 @@ _CELL_REF_RE = re.compile(r"([A-Z]+)([0-9]+)")
 
 def _ref_to_col(ref: str) -> int:
     m = _CELL_REF_RE.match(ref)
+    if m is None:
+        # a malformed cell ref (dirty-crawl workbook) must surface as the
+        # documented corrupt-payload ValueError, not an AttributeError that
+        # escapes parse_xlsx_bytes' tolerant-caller contract
+        raise ValueError(f"malformed cell reference {ref!r}")
     acc = 0
     for ch in m.group(1):
         acc = acc * 26 + (ord(ch) - ord("A") + 1)

@@ -135,20 +135,35 @@ class MjpegFrameSampler:
                                 ("id", "frame_idx", "n_frames", "fps",
                                  "height", "width", "mean_intensity")}
         for i, p in zip(ids, payloads):
+            # buffer one payload's rows so a mid-payload decode failure in
+            # tolerant mode yields exactly ONE null row, never a partial
+            # frame set plus a null marker
+            rows: list[tuple] = []
             try:
                 meta = parse_mjpeg_avi(p or b"")
                 for f in range(0, meta["n_frames"], self.stride):
                     img = decode_frame(p, meta["frames"], f)
-                    out["id"].append(i)
-                    out["frame_idx"].append(f)
-                    out["n_frames"].append(meta["n_frames"])
-                    out["fps"].append(meta["fps"])
-                    out["height"].append(img.shape[0])
-                    out["width"].append(img.shape[1])
-                    out["mean_intensity"].append(float(img.mean()) / 255.0)
-            except (ValueError, struct.error, IndexError):
+                    rows.append((f, meta["n_frames"], meta["fps"],
+                                 img.shape[0], img.shape[1],
+                                 float(img.mean()) / 255.0))
+            except Exception:
+                # ANY decode failure counts as corrupt in tolerant mode
+                # (KeyError from missing Huffman tables, NotImplementedError
+                # from progressive JPEG, ... — same policy as
+                # PayloadFeatureStage); 'raise' mode surfaces it
                 if self.on_error == "raise":
                     raise
+                rows = []
+            if rows:
+                for f, nf, fps, h, w, mi in rows:
+                    out["id"].append(i)
+                    out["frame_idx"].append(f)
+                    out["n_frames"].append(nf)
+                    out["fps"].append(fps)
+                    out["height"].append(h)
+                    out["width"].append(w)
+                    out["mean_intensity"].append(mi)
+            elif self.on_error == "null":
                 out["id"].append(i)
                 for k in ("frame_idx", "n_frames", "fps", "height", "width",
                           "mean_intensity"):

@@ -149,7 +149,8 @@ def sessionize_group(t: pa.Table, gap_seconds: float = 1800.0) -> pa.Table:
     })
 
 
-def global_row_number(ds, keys: list[str], out_col: str = "row_number"):
+def global_row_number(ds, keys: list[str], out_col: str = "row_number",
+                      return_total: bool = False):
     """GLOBAL (un-keyed) row numbering over a totally-ordered dataset — the
     primitive under whole-table window functions (ROW_NUMBER / NTILE /
     PERCENT_RANK over the full corpus, no PARTITION BY).
@@ -164,6 +165,10 @@ def global_row_number(ds, keys: list[str], out_col: str = "row_number"):
     is a total order — every row's composite key is unique — so each sorted
     block's first key identifies the block unambiguously. Callers must
     include a unique tiebreak column (e.g. the row id) as the last key.
+
+    ``return_total=True`` returns ``(dataset, n_total)`` — the row count is
+    the offsets' final cumsum, already on the driver, so callers needing it
+    (NTILE, PERCENT_RANK) skip a whole extra count() pass over the input.
     """
     sorted_ds = ds.sort(keys).materialize()
 
@@ -192,8 +197,11 @@ def global_row_number(ds, keys: list[str], out_col: str = "row_number"):
         return t.append_column(
             out_col, pa.array(np.arange(off, off + t.num_rows), pa.int64()))
 
-    return sorted_ds.map_batches(add_rn, batch_size=None,
-                                 batch_format="pyarrow")
+    out = sorted_ds.map_batches(add_rn, batch_size=None,
+                                batch_format="pyarrow")
+    if return_total:
+        return out, int(heads["__cnt"].sum())
+    return out
 
 
 def ntile_of_row_numbers(rn: np.ndarray, n_total: int, k: int) -> np.ndarray:

@@ -120,3 +120,62 @@ def test_export_partitioned_resumes(corpus, tmp_path, ray_session):
     pd.testing.assert_frame_equal(
         got[["repo", "path", "lsn", "sha256"]].reset_index(drop=True),
         want[["repo", "path", "lsn", "sha256"]].reset_index(drop=True))
+
+
+def test_bootstrap_timetravel_and_changelog(corpus, snapshot_and_cut,
+                                            tmp_path, ray_session):
+    """The initial load is an ordinary epoch-0 delta run: with retention on,
+    view_deltas/as-of work BEFORE any compaction (no false 'compacted
+    without retention' refusal), the change stream reports the snapshot as
+    epoch-0 upserts (Debezium snapshot-read shape), and as-of still
+    reconstructs epoch 0 AFTER compactions archived the bootstrap run —
+    previously the bootstrap rows silently vanished from time travel."""
+    snap, cut = snapshot_and_cut
+    eng = CdcEngine(str(tmp_path / "s6"), num_buckets=8, compact_every=2,
+                    retain_changelog=True)
+    eng.bootstrap(ray.data.from_pandas(snap), as_of_lsn=cut)
+    # pre-compaction guards must pass on a bootstrapped dir
+    eng.view_deltas()
+    asof0 = eng.dataset_as_of(0, with_sha=False).to_pandas()
+    assert len(asof0) == len(snap)
+    cl0 = eng.changelog_dataset(hi=0).to_pandas()
+    assert set(cl0["op"]) == {"upsert"} and len(cl0) == len(snap)
+
+    eng.replay(corpus["files"], epoch_size=1)   # compact_every=2: archives fire
+    last = max(r["epoch"] for r in eng.committed_epochs())
+    asof = eng.dataset_as_of(last, with_sha=False).to_pandas()
+    final = eng.final_table(with_sha=False).to_pandas()
+    a = asof.sort_values(["repo", "path"]).reset_index(drop=True)
+    f = final.sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["repo", "path", "lsn"]],
+                                  f[["repo", "path", "lsn"]])
+    # epoch 0 is still reconstructible from the archived bootstrap run
+    asof0b = eng.dataset_as_of(0, with_sha=False).to_pandas()
+    assert len(asof0b) == len(snap)
+    assert sorted(zip(asof0b["repo"], asof0b["path"])) == \
+        sorted(zip(snap["repo"], snap["path"]))
+
+
+def test_reshard_carries_bootstrap_cut_and_refuses_asof(
+        corpus, snapshot_and_cut, tmp_path, ray_session):
+    """reshard() must carry bootstrap.json (else a re-delivered pre-cut
+    stale upsert could resurrect a key deleted before the snapshot cut) and
+    retain_changelog; pre-reshard history is NOT reconstructible in the new
+    bucket space, so as-of reads refuse loudly instead of silently omitting
+    it."""
+    snap, cut = snapshot_and_cut
+    eng = CdcEngine(str(tmp_path / "s7"), num_buckets=4, compact_every=3,
+                    retain_changelog=True)
+    eng.bootstrap(ray.data.from_pandas(snap), as_of_lsn=cut)
+    eng.replay(corpus["files"][:4], epoch_size=2)
+    new = eng.reshard(str(tmp_path / "s7r"), 8)
+    assert new.bootstrap_lsn() == cut            # the fix under test
+    assert new.retain_changelog is True
+    new.replay(corpus["files"], epoch_size=2)    # full overlap incl. pre-cut
+    got = new.final_table().to_pandas()[
+        ["repo", "path", "lsn", "sha256"]].reset_index(drop=True)
+    want = oracle_replay(corpus["files"])[
+        ["repo", "path", "lsn", "sha256"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    with pytest.raises(ValueError, match="retain_changelog"):
+        new.dataset_as_of(0)

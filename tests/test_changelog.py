@@ -117,3 +117,23 @@ def test_asof_refuses_midlife_retention(corpus, tmp_path, ray_session):
     eng2.replay(corpus["files"][3:], epoch_size=1)  # archives from here on
     with pytest.raises(ValueError, match="retain_changelog"):
         eng2.dataset_as_of(1)
+
+
+def test_cli_compact_autodetects_retention(corpus, tmp_path, ray_session):
+    """Retention is sticky across CLI subcommands: a dir written with
+    retain_changelog persists a marker, and a later bare `cli compact`
+    (no flag) archives the delta runs instead of unlinking them —
+    previously that compact silently and irreversibly destroyed the
+    changelog/as-of surface."""
+    from oregonwaterdataportal_etl_ray import cli
+    state = str(tmp_path / "s_cli")
+    eng = CdcEngine(state, num_buckets=8, compact_every=99,
+                    retain_changelog=True)
+    eng.replay(corpus["files"][:3], epoch_size=1)    # runs stay outstanding
+    assert CdcEngine.retention_enabled(state)
+    rc = cli.main(["compact", "--state-dir", state, "--num-buckets", "8"])
+    assert rc == 0
+    eng2 = CdcEngine(state, num_buckets=8, retain_changelog=True)
+    asof = eng2.dataset_as_of(1, with_sha=False).to_pandas()
+    oracle = oracle_replay(corpus["files"][:2])
+    assert len(asof) == len(oracle)

@@ -311,3 +311,24 @@ def test_mjpeg_avi_roundtrip_and_sampler(ray_session):
                           batch_format="pyarrow", batch_size=2,
                           concurrency=2).to_pandas()
     assert len(dist) == 6 * 3 and set(dist["frame_idx"]) == {0, 2, 4}
+
+
+def test_mjpeg_sampler_tolerates_corrupt_jpeg_frames():
+    """Tolerant mode must survive ANY frame-decode failure, not just
+    container errors: a valid AVI whose embedded JPEG is progressive
+    (NotImplementedError) or has stripped Huffman tables (KeyError)
+    previously escaped the except clause and poisoned the whole batch."""
+    from oregonwaterdataportal_etl_ray.stages.videocodec import (
+        MjpegFrameSampler, encode_mjpeg_avi)
+    good = encode_mjpeg_avi([np.full((16, 16), 99, np.uint8)], fps=5)
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)   # SOF0 -> SOF2
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array([good, progressive], pa.binary())})
+    out = MjpegFrameSampler(stride=1, on_error="null")(t).to_pandas()
+    ok = out[out["doc_id"] == 1]
+    assert list(ok["frame_idx"]) == [0] and not ok["mean_intensity"].isna().any()
+    bad = out[out["doc_id"] == 2]
+    assert len(bad) == 1 and bad["frame_idx"].isna().all()
+    import pytest
+    with pytest.raises(Exception):
+        MjpegFrameSampler(stride=1, on_error="raise")(t)

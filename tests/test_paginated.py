@@ -105,3 +105,36 @@ def test_paginated_fetch_through_cdc_engine(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         final[["repo", "path", "sha256", "lsn"]],
         again[["repo", "path", "sha256", "lsn"]])
+
+
+def test_all_empty_page_batch_schema(ray_session):
+    """Pages that ALL parse to zero records (upstream count over-reports a
+    whole trailing page): with a declared schema the batch becomes a TYPED
+    empty block (no 0-column schema-mismatched blocks in the stream);
+    without one the parse task fails loud and asks for schema= instead of
+    silently corrupting the Dataset's block schemas."""
+    schema = pa.schema([("repo", pa.string()), ("path", pa.string()),
+                       ("commit", pa.string()), ("lang", pa.string()),
+                       ("content", pa.string())])
+    recs = _upstream_records()
+
+    def fetch_overcount(keys):
+        out = []
+        for k in keys:
+            params = dict(p.split("=") for p in k.split("&"))
+            lo = int(params["offset"])
+            hi = lo + int(params["limit"])
+            out.append(json.dumps({"features": recs[lo:hi]}).encode())
+        return out
+
+    # count over-reports by 2 whole pages -> trailing pages parse empty
+    over = N_EVENTS + 2 * PAGE
+    ds = paginated_dataset(lambda: over, fetch_overcount, PAGE, schema=schema)
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")),
+                         promote_options="none")   # raises on schema drift
+    assert t.num_rows == N_EVENTS
+    assert t.schema.names == schema.names
+
+    ds2 = paginated_dataset(lambda: over, fetch_overcount, PAGE)
+    with pytest.raises(Exception, match="schema"):
+        ds2.materialize()

@@ -140,3 +140,21 @@ def test_workbook_parser_stage_distributed(ray_session):
             WorkbookParser,
             fn_constructor_kwargs=dict(declared=declared, schema=schema),
             batch_format="pyarrow", concurrency=(1, 1)).materialize()
+
+
+def test_malformed_cell_ref_is_valueerror():
+    """A dirty-crawl worksheet with a malformed cell reference must surface
+    as the documented corrupt-payload ValueError, not an AttributeError that
+    escapes tolerant callers catching ValueError."""
+    blob = encode_xlsx({"s": pa.table({"a": pa.array([1, 2], pa.int64())})})
+    src = zipfile.ZipFile(io.BytesIO(blob))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as dst:
+        for item in src.infolist():
+            data = src.read(item.filename)
+            if item.filename.startswith("xl/worksheets/"):
+                # the writer emits ref-less cells; inject a malformed ref
+                data = data.replace(b'<c><v>1</v>', b'<c r="-3"><v>1</v>', 1)
+            dst.writestr(item, data)
+    with pytest.raises(ValueError, match="cell reference"):
+        parse_xlsx_bytes(buf.getvalue())
