@@ -453,20 +453,31 @@ def pivot_user_event_counts(sf_dir: str):
     (pivot requires a declared IN-list, as in SQL PIVOT), so the single
     shuffle moves n_users-wide partials instead of raw events and the
     groupby just sums columns. Types outside the domain would be dropped by
-    the reindex — the domain is part of the operator's contract."""
-    from ray.data.aggregate import Sum
+    the reindex — the domain is part of the operator's contract. The final
+    combine is the repo's bucketed map_groups shape (hash user_id into a
+    cluster-derived bucket count, ONE vectorized pandas sum per bucket):
+    Ray's multi-aggregate hash path costs ~12s on the same partials where
+    this runs in <1s, and the shuffle payload is identical."""
     ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
     cols = [f"n_{t}" for t in PIVOT_EVENT_TYPES]
+    nb = derived_num_buckets()
 
     def partial(df):
         import pandas as pd
         ct = pd.crosstab(df["user_id"], df["event_type"]) \
                .reindex(columns=list(PIVOT_EVENT_TYPES), fill_value=0)
         ct.columns = cols
-        return ct.astype("int64").reset_index()
+        out = ct.astype("int64").reset_index()
+        out["__b"] = out["user_id"].to_numpy() & (nb - 1)
+        return out
+
+    def sum_bucket(g):
+        return (g.drop(columns="__b")
+                 .groupby("user_id", as_index=False, sort=False).sum())
+
     return ds.map_batches(partial, batch_format="pandas") \
-             .groupby("user_id") \
-             .aggregate(*[Sum(c, alias_name=c) for c in cols])
+             .groupby("__b") \
+             .map_groups(sum_bucket, batch_format="pandas")
 
 
 @_q("ntile_doc_length", """
@@ -622,17 +633,32 @@ def full_outer_spend(sf_dir: str):
     customers vs per-customer order spend — unmatched rows survive from BOTH
     sides with nulls. Uses bucketed_full_outer_join (hash-bucket -> one
     shuffle -> per-bucket Acero join; see stages/joins.py for why the native
-    full_outer is unsafe on sparse sides); the order side is pre-aggregated
-    map-side so the exchange moves one row per customer, not per order."""
-    from ray.data.aggregate import Count, Sum
+    full_outer is unsafe on sparse sides). ONE shuffle total: the order
+    side ships map-side partial aggregates (one row per customer per
+    block) straight into the join exchange, and the join's per-bucket pass
+    folds them via right_combine — no separate groupby exchange (Ray's
+    multi-aggregate hash path cost ~3.5s on these partials; this folds
+    them for free inside the bucket it already owns)."""
     from ..stages.joins import bucketed_full_outer_join
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]) \
         .filter(expr="c_acctbal > 9000")
+
+    def spend_partial(df):
+        return df.groupby("o_custkey", as_index=False, sort=False).agg(
+            n_orders=("o_totalprice", "size"),
+            total_spend=("o_totalprice", "sum"))
+
+    def spend_combine(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()
+               .groupby("o_custkey", as_index=False, sort=False)
+               .agg(n_orders=("n_orders", "sum"),
+                    total_spend=("total_spend", "sum")))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]) \
-        .groupby("o_custkey") \
-        .aggregate(Count(alias_name="n_orders"),
-                   Sum("o_totalprice", alias_name="total_spend"))
-    j = bucketed_full_outer_join(cust, orders, "c_custkey", "o_custkey")
+        .map_batches(spend_partial, batch_format="pandas")
+    j = bucketed_full_outer_join(cust, orders, "c_custkey", "o_custkey",
+                                 right_combine=spend_combine)
 
     def finish(t: pa.Table) -> pa.Table:
         # the composition coalesces the key pair into the left name

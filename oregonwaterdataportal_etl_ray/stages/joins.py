@@ -152,8 +152,30 @@ class MembershipFilter:
         return batch.filter(pa.array(mask if self.keep else ~mask))
 
 
+def _arrow_schema(ds) -> pa.Schema:
+    """A Dataset's schema as a real ``pa.Schema``. A pipeline whose last
+    stage produced pandas blocks surfaces a PandasBlockSchema (plain
+    names/types lists, numpy dtypes) — map it so schema-driven operators
+    (the full-outer conform below) work on either block format; object
+    dtype degrades to string."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+
+    def at(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+    return pa.schema([pa.field(n, at(t)) for n, t in zip(s.names, s.types)])
+
+
 def bucketed_full_outer_join(left, right, left_on: str, right_on: str,
-                             num_buckets: int | None = None):
+                             num_buckets: int | None = None,
+                             right_combine=None):
     """FULL OUTER hash join as a composition (hash-bucket -> one shuffle ->
     per-bucket Acero join).
 
@@ -170,14 +192,20 @@ def bucketed_full_outer_join(left, right, left_on: str, right_on: str,
     Partitioning assumption (the standard hash-join contract): one bucket's
     rows from both sides fit a worker. ``num_buckets`` must be a power of
     two (the default, cluster-derived count is).
+
+    ``right_combine``: optional per-bucket combiner applied to the right
+    side before the join — the aggregate-then-join shape in ONE shuffle:
+    ship map-side partial aggregates as the right input and fold them here
+    (keys are bucket-complete), instead of paying a separate groupby
+    exchange before the join's own.
     """
     import pyarrow.compute as pc
 
     from ..cdc.merge import bucket_of_keys
     from .partitioning import derived_num_buckets
     nb = num_buckets or derived_num_buckets()
-    l_schema = left.schema().base_schema
-    r_schema = right.schema().base_schema
+    l_schema = _arrow_schema(left)
+    r_schema = _arrow_schema(right)
     overlap = set(l_schema.names) & set(r_schema.names)
     if overlap:
         raise ValueError(f"column names must be disjoint, got {overlap}")
@@ -208,6 +236,8 @@ def bucketed_full_outer_join(left, right, left_on: str, right_on: str,
         is_l = pc.equal(g["__side"], 0)
         l = g.filter(is_l).select(l_names)
         r = g.filter(pc.invert(is_l)).select(r_names)
+        if right_combine is not None:
+            r = right_combine(r).select(r_names)
         return l.join(r, keys=left_on, right_keys=right_on,
                       join_type="full outer")
 

@@ -5,9 +5,12 @@ filters None/Sub/Up vectorized, Average/Paeth per-scanline) via the
 pure-numpy+zlib codec in :mod:`.imagecodec`, and baseline JPEG (sequential
 DCT incl. chroma subsampling + restart intervals, :mod:`.jpegcodec`) — no
 external image libraries needed. ``ImageDecoder`` sniffs the magic bytes and
-emits (height, width, channels, mean_intensity). Formats without a
-pure-python decoder here (video, progressive JPEG) remain STUBBED:
-``FakeDecoder`` produces
+emits (height, width, channels, mean_intensity). Video is REAL for
+MJPEG-in-AVI (:mod:`.videocodec` container parse + per-frame baseline JPEG,
+driven by ``MjpegFrameSampler``) and compressed audio for IMA-ADPCM WAV
+(:mod:`.audiocodec`). Formats without a pure-python decoder here
+(progressive JPEG, inter-frame video codecs, MP3/AAC) remain STUBBED:
+``FakeDecoder``/``FrameSampler`` produce
 deterministic pseudo-features so the Ray-side plumbing — schema, small
 batch sizes for large payloads, actor-pool signature, output layout — is
 real and tested; swap in PIL/ffmpeg in deployment, nothing else changes.
