@@ -80,32 +80,44 @@ def _read_rel(state_dir: str, rel: str) -> pa.Table:
     return pq.read_table(os.path.join(state_dir, rel))
 
 
-def _unlink_superseded(state_dir: str, rel_paths: list[str], keep: set,
-                       retain_changelog: bool = False) -> None:
+def _archive_runs(state_dir: str, rel_paths: list[str]) -> None:
+    """Hardlink superseded RUN files (per-epoch LWW deltas) into
+    ``changelog/bucket=B/run-E.parquet`` — the engine's downstream change
+    stream (a Debezium-style CDC output) and the raw material for
+    time-travel reads. Runs BEFORE the manifest commit, so a crash between
+    the two can never produce a committed manifest whose changelog is
+    missing epochs (silently-stale as-of reads); the failure mode is
+    instead a changelog entry whose run is still live in ``data/`` — same
+    bytes under both names (a hardlink), deduplicated by epoch at read
+    time. Idempotent under retry (an existing archive entry is kept)."""
+    for rel in rel_paths:
+        if not os.path.basename(rel).startswith("run-"):
+            continue
+        src = os.path.join(state_dir, rel)
+        dst = os.path.join(state_dir, "changelog", os.path.relpath(rel, "data"))
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(src, dst)      # no data copy; same filesystem by layout
+        except FileExistsError:
+            pass
+        except OSError:
+            if not os.path.exists(dst):   # e.g. FS without hardlinks
+                import shutil
+                shutil.copy2(src, dst)
+
+
+def _unlink_superseded(state_dir: str, rel_paths: list[str], keep: set) -> None:
     """Best-effort removal of state files a committed manifest no longer
     references — without this, long-running tail mode grows disk with every
     compaction (the old base + folded runs stay orphaned forever). Runs AFTER
     the manifest commit: a crash in between leaves unreferenced files (a
-    bounded space leak, never a dangling reference).
-
-    ``retain_changelog``: superseded RUN files (per-epoch LWW deltas) are
-    moved to ``changelog/bucket=B/run-E.parquet`` instead of unlinked — they
-    are the engine's downstream change stream (a Debezium-style CDC output)
-    and the raw material for time-travel reads. Bases are always unlinked
-    (derived data, reconstructible from the deltas).
-    """
+    bounded space leak, never a dangling reference — and never a missing
+    changelog entry, because archival happens before the commit)."""
     for rel in rel_paths:
         if rel in keep:
             continue
-        src = os.path.join(state_dir, rel)
         try:
-            if retain_changelog and os.path.basename(rel).startswith("run-"):
-                dst = os.path.join(state_dir, "changelog",
-                                   os.path.relpath(rel, "data"))
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.replace(src, dst)   # atomic move, no copy
-            else:
-                os.unlink(src)
+            os.unlink(os.path.join(state_dir, rel))
         except OSError:
             pass
 
@@ -122,6 +134,17 @@ def _merge_bucket(group: pa.Table, *, state_dir: str, epoch: int,
     bucket = int(group.column("bucket")[0].as_py())
     m = load_manifest(state_dir, bucket) or BucketManifest(bucket=bucket)
     if m.epoch >= epoch:
+        # A Ray RETRY of the task that just committed this very epoch must
+        # report the original application's counts, not zeros — the driver
+        # sums only the surviving result row into the lineage record.
+        ls = m.last_epoch_stats
+        if ls is not None and m.epoch == epoch and ls.get("epoch") == epoch:
+            return _stats_row(bucket=bucket, epoch=epoch,
+                              applied=ls["applied"], upserts=ls["upserts"],
+                              deletes=ls["deletes"],
+                              skipped_stale=ls["skipped_stale"],
+                              last_applied_lsn=m.last_applied_lsn,
+                              committed=True)
         return _stats_row(bucket=bucket, epoch=epoch, applied=0, upserts=0,
                           deletes=0, skipped_stale=group.num_rows,
                           last_applied_lsn=m.last_applied_lsn, committed=False)
@@ -167,14 +190,18 @@ def _merge_bucket(group: pa.Table, *, state_dir: str, epoch: int,
     stats["upserts"] += n_up
     stats["deletes"] += n_del
     stats["skipped_stale"] += n_stale
+    if superseded and retain_changelog:
+        _archive_runs(state_dir, superseded)   # BEFORE the manifest commit
     write_manifest(state_dir, BucketManifest(
         bucket=bucket, epoch=epoch, last_applied_lsn=new_last,
         row_count=row_count, base_file=base_file, runs=runs, stats=stats,
         discarded_deltas=m.discarded_deltas or bool(
-            superseded and not retain_changelog)))
+            superseded and not retain_changelog),
+        last_epoch_stats={"epoch": epoch, "applied": fresh.num_rows,
+                          "upserts": n_up, "deletes": n_del,
+                          "skipped_stale": n_stale}))
     if superseded:
-        _unlink_superseded(state_dir, superseded, keep={base_file},
-                           retain_changelog=retain_changelog)
+        _unlink_superseded(state_dir, superseded, keep={base_file})
     return _stats_row(bucket=bucket, epoch=epoch, applied=fresh.num_rows,
                       upserts=n_up, deletes=n_del, skipped_stale=n_stale,
                       last_applied_lsn=new_last, committed=True)
@@ -475,6 +502,47 @@ class CdcEngine:
             p = os.path.join(state_dir, "retain_changelog.json")
             if not os.path.exists(p):
                 atomic_write_bytes(p, b'{"retain_changelog": true}')
+        # num_buckets is the one layout parameter that silently corrupts
+        # state if it drifts between runs (a key re-hashes to a different
+        # bucket: duplicate PKs in the merged table, tombstones that no
+        # longer block their key's stale upserts). Persist it on first use
+        # and refuse a mismatched resume loudly.
+        persisted = self.persisted_num_buckets(state_dir)
+        if persisted is None:
+            # one-time migration sanity check for dirs that predate layout
+            # persistence: an existing bucket id >= num_buckets proves the
+            # passed value wrong — refuse rather than persist the mistake
+            mdir = os.path.join(state_dir, "manifest")
+            if os.path.isdir(mdir):
+                ids = [int(n[len("bucket-"):-len(".json")])
+                       for n in os.listdir(mdir)
+                       if n.startswith("bucket-") and n.endswith(".json")]
+                if ids and max(ids) >= num_buckets:
+                    raise ValueError(
+                        f"state dir {state_dir!r} has bucket {max(ids)} but "
+                        f"num_buckets={num_buckets}; pass the value the dir "
+                        "was built with")
+            atomic_write_bytes(self._layout_path(state_dir),
+                               json.dumps({"num_buckets": num_buckets}).encode())
+        elif persisted != num_buckets:
+            raise ValueError(
+                f"state dir {state_dir!r} was built with num_buckets="
+                f"{persisted}, got {num_buckets}; pass the persisted value "
+                f"(or use reshard() to change the bucket layout)")
+
+    @staticmethod
+    def _layout_path(state_dir: str) -> str:
+        return os.path.join(state_dir, "layout.json")
+
+    @classmethod
+    def persisted_num_buckets(cls, state_dir: str) -> int | None:
+        """The bucket count this state dir was built with, or None for a
+        fresh dir (or one written before layout persistence existed)."""
+        p = cls._layout_path(state_dir)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(json.load(f)["num_buckets"])
 
     @staticmethod
     def retention_enabled(state_dir: str) -> bool:
@@ -701,7 +769,9 @@ class CdcEngine:
 
         ``fail_after_epoch`` is a test hook that raises after committing that
         many epochs (kill-and-resume suites)."""
-        epoch_size = epoch_size or len(files)
+        # max(..., 1): replay([]) (a glob that matched nothing) is a no-op
+        # returning the committed lineage, not a range(0, 0, 0) crash
+        epoch_size = epoch_size or max(len(files), 1)
         done = self.committed_epochs()
         # resume by FILE SET, not epoch position: committed lineage records
         # each epoch's file list, so files already applied are skipped even if
@@ -841,7 +911,14 @@ class CdcEngine:
                 rec["norm_wait_sec"] = norm_waits[k]
             return records
         finally:
-            # error path too: don't leak queued plan builds past the raise
+            # error path too: join the in-flight merge before propagating —
+            # a daemon thread left running would keep committing manifests
+            # and epochs.json records AFTER replay() reported failure, and
+            # its unsynchronized epochs.json append could race a retry's
+            # read-append-write into a lost lineage record
+            if prev is not None:
+                prev[0].join()
+            # and don't leak queued plan builds past the raise
             prefetch.shutdown(wait=False, cancel_futures=True)
 
     def tail(self, events_dir: str, epoch_size: int = 1,
@@ -942,11 +1019,12 @@ class CdcEngine:
                     merged.num_rows - merged.column("content").null_count
                 if m.runs and not retain:
                     m.discarded_deltas = True
+                if m.runs and retain:
+                    _archive_runs(state_dir, m.runs)   # BEFORE the commit
                 m.runs = []
                 write_manifest(state_dir, m)
                 _unlink_superseded(state_dir, old_files,
-                                   keep={m.base_file} if m.base_file else set(),
-                                   retain_changelog=retain)
+                                   keep={m.base_file} if m.base_file else set())
                 done.append(int(b))
             return pa.table({"bucket": pa.array(done, pa.int32())})
 
@@ -1028,6 +1106,19 @@ class CdcEngine:
         src_dir, dst_dir = self.state_dir, new_state_dir
         from .merge import bucket_of_keys, key_column
 
+        # the empty-batch fallback must carry the FULL stored-row schema —
+        # a bucket-only block would give the groupby shuffle inconsistent
+        # block schemas (the 'RefBundle with a different schema' hazard the
+        # _empty() helpers exist for). Probe one committed file's footer.
+        probe_schema = None
+        for m in manifests.values():
+            rel = m.base_file or (m.runs[0] if m.runs else None)
+            if rel is not None:
+                probe_schema = pq.read_schema(os.path.join(src_dir, rel))
+                break
+        if probe_schema is None:
+            return new_eng   # every bucket is empty — nothing to move
+
         def rebucket(batch: pa.Table) -> pa.Table:
             out = []
             for b in batch.column("bucket").to_pylist():
@@ -1045,7 +1136,7 @@ class CdcEngine:
                     merged.schema.get_field_index("bucket"), "bucket", nb)
                 out.append(merged)
             if not out:
-                return pa.table({"bucket": pa.array([], pa.int32())})
+                return probe_schema.empty_table()
             return pa.concat_tables(out, promote_options="permissive")
 
         def write_new_bucket(group: pa.Table) -> pa.Table:
@@ -1120,7 +1211,6 @@ class CdcEngine:
                 t = reader(pa.table({"bucket": pa.array([int(b)], pa.int32())}))
                 atomic_write_table(dst, t)
                 written.append(int(b))
-            n = len(written) + len(skipped)
             return pa.table({
                 "bucket": pa.array(written + skipped, pa.int32()),
                 "written": pa.array([True] * len(written) +
@@ -1148,6 +1238,25 @@ class CdcEngine:
         return ds.map_batches(_ReadChangelog(self.state_dir, lo, hi),
                               batch_format="pyarrow", batch_size=2)
 
+    def _require_retained_deltas(self, what: str) -> dict:
+        """Load all manifests, refusing (loudly) any bucket whose per-epoch
+        deltas can no longer reconstruct history: the ``discarded_deltas``
+        flag (set by any compact-without-archive, even when retention is
+        enabled later in the dir's life), with the no-changelog-dir
+        heuristic kept as a fallback for manifests written before the flag
+        existed. Shared by view_deltas and dataset_as_of so the guard can
+        never silently diverge between them."""
+        manifests = load_all_manifests(self.state_dir)
+        for m in manifests.values():
+            if m.discarded_deltas or (
+                    m.base_file and not os.path.isdir(os.path.join(
+                        self.state_dir, "changelog", f"bucket={m.bucket:05d}"))):
+                raise ValueError(
+                    f"bucket {m.bucket} was compacted without changelog "
+                    f"retention; {what} need retain_changelog=True from "
+                    "the state dir's first epoch")
+        return manifests
+
     def view_deltas(self, hi: int | None = None) -> "ray.data.Dataset":
         """Incremental view maintenance over the changelog: per-(repo, epoch)
         increments ``(d_files, d_bytes)`` of the canonical downstream
@@ -1169,16 +1278,8 @@ class CdcEngine:
         is local), computes value-diffs vectorized after one (key, epoch)
         sort, and pre-aggregates to one row per (repo, epoch) — the only
         shuffle is the final groupby over O(repos × epochs) rows."""
-        for m in load_all_manifests(self.state_dir).values():
-            if m.discarded_deltas or (
-                    m.base_file and not os.path.isdir(os.path.join(
-                        self.state_dir, "changelog", f"bucket={m.bucket:05d}"))):
-                raise ValueError(
-                    f"bucket {m.bucket} was compacted without changelog "
-                    "retention; view deltas need retain_changelog=True from "
-                    "the state dir's first epoch")
+        manifests = self._require_retained_deltas("view deltas")
         from ray.data.aggregate import Sum
-        manifests = load_all_manifests(self.state_dir)
         ds = ray.data.from_items([{"bucket": b} for b in sorted(manifests)])
         deltas = ds.map_batches(_ViewDeltas(self.state_dir, hi),
                                 batch_format="pyarrow", batch_size=2)
@@ -1197,15 +1298,7 @@ class CdcEngine:
         compact-without-archive, even when changelog retention is enabled
         later in the state dir's life), with the no-changelog-dir heuristic
         kept as a fallback for manifests written before the flag existed."""
-        for m in load_all_manifests(self.state_dir).values():
-            if m.discarded_deltas or (
-                    m.base_file and not os.path.isdir(os.path.join(
-                        self.state_dir, "changelog", f"bucket={m.bucket:05d}"))):
-                raise ValueError(
-                    f"bucket {m.bucket} was compacted without changelog "
-                    "retention; as-of reads need retain_changelog=True from "
-                    "the state dir's first epoch")
-        manifests = load_all_manifests(self.state_dir)
+        manifests = self._require_retained_deltas("as-of reads")
         ds = ray.data.from_items([{"bucket": b} for b in sorted(manifests)])
         return ds.map_batches(_ReadBucketAsOf(self.state_dir, epoch, with_sha),
                               batch_format="pyarrow", batch_size=2)

@@ -58,18 +58,23 @@ def _encode_keys(keys: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, pa.Array
     return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64), enc.dictionary
 
 
+def _hash_uniques(uniq: pa.Array, num_buckets: int) -> np.ndarray:
+    """THE bucket-hash recipe — the single definition both bucketing call
+    sites (bucket_of_keys, NormalizeEvents) share: if the recipe ever
+    drifted between them, normalize and reshard would disagree on bucket
+    placement (silent cross-bucket state corruption). pandas ``hash_array``
+    is a keyed siphash with a fixed default key, so the same key maps to
+    the same bucket on every node/process."""
+    return (pd.util.hash_array(np.asarray(uniq.to_pylist(), dtype=object))
+            % num_buckets).astype(np.int32)
+
+
 def bucket_of_keys(keys: pa.Array | pa.ChunkedArray, num_buckets: int) -> np.ndarray:
     """Deterministic hash bucket per key (stable across processes/nodes).
-
-    pandas ``hash_array`` is a keyed siphash with a fixed default key — the
-    same key maps to the same bucket on every node, which is what makes the
-    groupby-shuffle a consistent hash partitioning. Hashing runs over the
-    dictionary-encoded *unique* values only, then broadcasts via take.
-    """
+    Hashing runs over the dictionary-encoded *unique* values only, then
+    broadcasts via take."""
     codes, uniq = _encode_keys(keys)
-    uh = (pd.util.hash_array(np.asarray(uniq.to_pylist(), dtype=object))
-          % num_buckets).astype(np.int32)
-    return uh[codes]
+    return _hash_uniques(uniq, num_buckets)[codes]
 
 
 def _lww_mask(codes: np.ndarray, lsn: np.ndarray) -> np.ndarray | None:
@@ -147,9 +152,7 @@ class NormalizeEvents:
         # state move); downstream recomputes it from (repo, path)
         # one dictionary-encode shared by bucketing AND the partial LWW reduce
         codes, uniq = _encode_keys(keys)
-        uh = (pd.util.hash_array(np.asarray(uniq.to_pylist(), dtype=object))
-              % self.num_buckets).astype(np.int32)
-        buckets = uh[codes]
+        buckets = _hash_uniques(uniq, self.num_buckets)[codes]
         t = t.append_column("bucket", pa.array(buckets, pa.int32()))
         lsn = t.column("lsn").to_numpy(zero_copy_only=False)
         if self.wm is not None:

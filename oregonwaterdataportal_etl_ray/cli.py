@@ -49,7 +49,12 @@ def _engine(args):
     # break the changelog/as-of surface it advertises.
     retain = (getattr(args, "retain_changelog", False)
               or CdcEngine.retention_enabled(args.state_dir))
-    return CdcEngine(args.state_dir, num_buckets=args.num_buckets,
+    # Bucket layout is likewise sticky: adopt the persisted count so a
+    # subcommand that omits --num-buckets can never split keys across a
+    # different bucket space (the engine refuses a true mismatch anyway;
+    # this makes the flag optional rather than a footgun).
+    nb = CdcEngine.persisted_num_buckets(args.state_dir) or args.num_buckets
+    return CdcEngine(args.state_dir, num_buckets=nb,
                      evolution=EvolutionSpec(renames=renames) if renames else None,
                      compact_every=args.compact_every,
                      retain_changelog=retain)

@@ -39,6 +39,12 @@ class BucketManifest:
     # time-travel reads are permanently inexact for this bucket (deltas alone
     # no longer reconstruct any cut). Never reset; old manifests load False.
     discarded_deltas: bool = False
+    # stats of the LAST committed epoch ({"epoch", "applied", "upserts",
+    # "deletes", "skipped_stale"}): a Ray retry of an already-committed merge
+    # task returns these instead of zeros, so the epoch lineage record keeps
+    # the real counts. Old manifests load None (retry then reports zeros,
+    # the pre-field behavior).
+    last_epoch_stats: dict | None = None
 
 
 def _tmp_path(final_path: str) -> str:

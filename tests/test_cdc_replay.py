@@ -157,12 +157,22 @@ def test_merge_task_retry_is_noop(corpus, tmp_path):
         for m in eng.lineage().values()))
 
     retry = _merge_bucket(one_bucket, state_dir=state, epoch=0, compact_every=10)
-    assert retry["committed"][0].as_py() is False      # short-circuited
-    assert retry["applied"][0].as_py() == 0
+    # the retry short-circuits (no state mutation) but reports the ORIGINAL
+    # application's counts — the driver sums only the surviving result row
+    # into the lineage record, so zeros would permanently under-count
+    for col in ("applied", "upserts", "deletes", "skipped_stale", "committed"):
+        assert retry[col][0].as_py() == first[col][0].as_py(), col
     manifest_retry = json.dumps(sorted(
         (m.bucket, m.epoch, m.last_applied_lsn, tuple(m.runs))
         for m in eng.lineage().values()))
     assert manifest_after == manifest_retry
+    # a LATER epoch's stale re-delivery (not a retry of this commit) still
+    # reports zeros applied
+    late = _merge_bucket(one_bucket, state_dir=state, epoch=0, compact_every=10)
+    stale = _merge_bucket(one_bucket.slice(0, 1), state_dir=state, epoch=-1,
+                          compact_every=10)
+    assert stale["committed"][0].as_py() is False
+    assert stale["applied"][0].as_py() == 0
 
 
 def test_crash_between_manifest_and_lineage_loses_nothing(corpus, tmp_path):
@@ -244,3 +254,82 @@ def test_late_file_sorting_before_applied_is_still_ingested(corpus, tmp_path):
     want = oracle_replay(files[:4]).sort_values(["repo", "path"]) \
         .reset_index(drop=True)
     assert list(final["sha256"]) == list(want["sha256"])
+
+
+def test_replay_empty_file_list_is_noop(tmp_path, ray_session):
+    """replay([]) (a glob that matched nothing) returns the committed
+    lineage instead of crashing on range(0, 0, 0)."""
+    eng = CdcEngine(str(tmp_path / "state"), num_buckets=4)
+    res = eng.replay([])
+    assert res.epochs == [] and res.n_applied == 0
+
+
+def test_num_buckets_mismatch_refused(corpus, tmp_path, ray_session):
+    """The bucket count is persisted on first use; resuming with a different
+    value would silently re-hash keys across buckets (duplicate PKs,
+    resurrected deletes), so it must refuse loudly. The CLI adopts the
+    persisted value so its default can't trip this."""
+    import pytest
+
+    from oregonwaterdataportal_etl_ray.cli import _engine
+
+    state = str(tmp_path / "state")
+    eng = CdcEngine(state, num_buckets=8)
+    eng.replay(corpus["files"][:2], epoch_size=1)
+    with pytest.raises(ValueError, match="num_buckets"):
+        CdcEngine(state, num_buckets=64)
+    assert CdcEngine.persisted_num_buckets(state) == 8
+
+    class A:  # CLI args shape with the (wrong) default bucket count
+        state_dir, num_buckets, compact_every, rename = state, 64, 4, None
+    assert _engine(A()).num_buckets == 8
+
+    # pre-layout-persistence dirs: a bucket id >= the passed count is proof
+    # of a wrong value even without the marker
+    import os
+    os.unlink(os.path.join(state, "layout.json"))
+    with pytest.raises(ValueError, match="bucket"):
+        CdcEngine(state, num_buckets=4)
+
+
+def test_reshard_with_fully_empty_buckets(corpus, tmp_path, ray_session):
+    """A bucket whose state was fully GC'd (manifest exists, no base, no
+    runs) must not poison reshard: a rebucket batch containing ONLY such
+    buckets previously emitted a bucket-only-schema block into the same
+    shuffle as full-schema blocks. Buckets 0 and 1 are emptied so the first
+    batch_size=2 rebucket batch is all-empty."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from oregonwaterdataportal_etl_ray.state.manifest import (
+        load_all_manifests, manifest_path)
+
+    state = str(tmp_path / "state")
+    eng = CdcEngine(state, num_buckets=8, compact_every=99)
+    eng.replay(corpus["files"][:3], epoch_size=1)
+    want = eng.final_table(with_sha=False).to_pandas()
+    dropped_keys = set()
+    for b in (0, 1):
+        m = load_all_manifests(state)[b]
+        for rel in ([m.base_file] if m.base_file else []) + list(m.runs):
+            import pyarrow.parquet as pq2
+            t = pq2.read_table(os.path.join(state, rel))
+            dropped_keys |= set(zip(t["repo"].to_pylist(),
+                                    t["path"].to_pylist()))
+            os.unlink(os.path.join(state, rel))
+        m.base_file, m.runs, m.row_count = None, [], 0
+        from dataclasses import asdict
+        with open(manifest_path(state, b), "w") as f:
+            json.dump(asdict(m), f)
+
+    new = eng.reshard(str(tmp_path / "state16"), 16)
+    got = new.final_table(with_sha=False).to_pandas()
+    keep = ~want.apply(lambda r: (r["repo"], r["path"]) in dropped_keys, axis=1)
+    want2 = want[keep].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.sort_values(["repo", "path"]).reset_index(drop=True)[
+            ["repo", "path", "lsn"]],
+        want2.sort_values(["repo", "path"]).reset_index(drop=True)[
+            ["repo", "path", "lsn"]])

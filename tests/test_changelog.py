@@ -137,3 +137,38 @@ def test_cli_compact_autodetects_retention(corpus, tmp_path, ray_session):
     asof = eng2.dataset_as_of(1, with_sha=False).to_pandas()
     oracle = oracle_replay(corpus["files"][:2])
     assert len(asof) == len(oracle)
+
+
+def test_archive_before_commit_crash_window_is_safe(corpus, tmp_path,
+                                                    ray_session):
+    """Compaction archives delta runs into changelog/ BEFORE the manifest
+    commit (hardlink). The crash window therefore leaves a run visible under
+    BOTH names (live in data/, archived in changelog/) — readers must
+    deduplicate by epoch, never double-count, and the final table must be
+    unaffected."""
+    import os
+
+    from oregonwaterdataportal_etl_ray.cdc.engine import _archive_runs
+
+    state = str(tmp_path / "s_arch")
+    eng = CdcEngine(state, num_buckets=8, compact_every=99,   # runs stay live
+                    retain_changelog=True)
+    eng.replay(corpus["files"][:4], epoch_size=1)
+    before_stream = eng.changelog_dataset().to_pandas()
+    before_final = eng.final_table(with_sha=False).to_pandas()
+
+    # simulate the crash: archival ran, the commit/cleanup never did
+    for m in eng.lineage().values():
+        _archive_runs(state, m.runs)
+        for r in m.runs:
+            assert os.path.exists(os.path.join(state, "changelog",
+                                               os.path.relpath(r, "data")))
+    _archive_runs(state, [m.runs[0]])   # idempotent under retry
+
+    after_stream = eng.changelog_dataset().to_pandas()
+    assert len(after_stream) == len(before_stream)   # no double-counting
+    pd.testing.assert_frame_equal(
+        eng.final_table(with_sha=False).to_pandas(), before_final)
+    asof = eng.dataset_as_of(2, with_sha=False).to_pandas()
+    oracle = oracle_replay(corpus["files"][:3])
+    assert len(asof) == len(oracle)
