@@ -106,7 +106,13 @@ def paginated_dataset(count_fn: Callable[[], int],
                 "a page batch parsed to zero records and no record schema "
                 "was declared — pass schema= to paginated_dataset so empty "
                 "batches stay schema-consistent with the rest of the stream")
-        return pa.concat_tables(tables, promote_options="permissive")
+        out = pa.concat_tables(tables, promote_options="permissive")
+        if schema is not None:
+            # cast EVERY batch, not just empty ones: per-page inference can
+            # drift (an all-null field infers null type, key order varies),
+            # and inconsistent block schemas break the Dataset downstream
+            out = out.select(schema.names).cast(schema)
+        return out
 
     fetched = pages.map_batches(
         CachedFetchStage,

@@ -15,10 +15,16 @@ import ray
 
 
 def _matrix(col) -> np.ndarray:
-    """list<float> column -> (N, D) float32 matrix (zero-ish copy)."""
+    """list<float> column -> (N, D) float32 matrix (zero-ish copy).
+
+    Empty-safe: reshape(0, -1) is ambiguous to numpy (raises), and empty
+    blocks DO occur (empty fragments, fully-filtered blocks), so derive the
+    width from the list type's declared element count or return (0, 0)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
     n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), np.float32)
     return flat.reshape(n, -1)
 
 
@@ -62,11 +68,16 @@ class BruteForceTopK:
         self.vec_col = vec_col
         self.exclude_self = exclude_self
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _matrix(batch[self.vec_col])          # (N, D)
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        sims = self.qnorm @ mn.T                  # (Q, N)
+    @staticmethod
+    def _empty() -> pa.Table:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "cosine_sim": pa.array([], pa.float64())})
+
+    def _partial_topk(self, sims: np.ndarray, ids: np.ndarray) -> pa.Table:
+        """Shared masked-scores -> partial-top-k tail (exclude-self, k clamp,
+        argpartition, finite filter) — one definition for the brute-force
+        and IVF variants so tie/clamp/filter fixes can't diverge."""
         if self.exclude_self:
             sims[self.qids[:, None] == ids[None, :]] = -np.inf
         k = min(self.k, sims.shape[1])
@@ -80,6 +91,15 @@ class BruteForceTopK:
             "neighbor_id": pa.array(rows_id[keep]),
             "cosine_sim": pa.array(rows_sim[keep].astype(np.float64)),
         })
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch[self.vec_col])          # (N, D)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:       # (0, 0) matrix can't matmul against (Q, D)
+            return self._empty()
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = self.qnorm @ mn.T                  # (Q, N)
+        return self._partial_topk(sims, ids)
 
 
 def final_topk(group, k: int = 5):
@@ -188,23 +208,13 @@ class IVFTopK(BruteForceTopK):
         cells = batch["ivf_cell"].to_numpy(zero_copy_only=False)
         m = _matrix(batch[self.vec_col])
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return self._empty()
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
         sims = self.qnorm @ mn.T                  # (Q, N)
         probed = (cells[None, :, None] == self.probes[:, None, :]).any(axis=2)
         sims[~probed] = -np.inf
-        if self.exclude_self:
-            sims[self.qids[:, None] == ids[None, :]] = -np.inf
-        k = min(self.k, sims.shape[1])
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        rows_q = np.repeat(self.qids, k)
-        rows_id = ids[part.reshape(-1)]
-        rows_sim = np.take_along_axis(sims, part, axis=1).reshape(-1)
-        keep = np.isfinite(rows_sim)
-        return pa.table({
-            "query_id": pa.array(rows_q[keep]),
-            "neighbor_id": pa.array(rows_id[keep]),
-            "cosine_sim": pa.array(rows_sim[keep].astype(np.float64)),
-        })
+        return self._partial_topk(sims, ids)
 
 
 class HyperplaneLSH:

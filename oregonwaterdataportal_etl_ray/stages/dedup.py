@@ -206,8 +206,15 @@ class BandExploder:
         col = batch["minhash"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
         n = len(col)
+        if n == 0:
+            # reshape(0, -1) is ambiguous to numpy (raises); empty signature
+            # blocks occur whenever an input fragment was empty
+            return pa.table({
+                self.id_col: pa.array([], batch[self.id_col].type),
+                "band_id": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.uint64())})
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
         sigs = flat.reshape(n, -1)                # (N, P) zero-copy view
         p = sigs.shape[1]
         rows_per = p // self.num_bands

@@ -52,15 +52,19 @@ class BroadcastLookup:
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch.column(self.stream_key).to_pandas()
         sub = self.lookup[self.take_cols].reindex(keys)
+        # miss = key absent from the lookup INDEX — testing the first taken
+        # column for NaN would conflate a present key whose value is
+        # legitimately null with a genuinely missing key (dropping or
+        # erroring on real data)
         if self.on_miss == "error":
-            missing = sub[self.take_cols[0]].isna()
+            missing = ~keys.isin(self.lookup.index)
             if missing.any():
                 raise KeyError(f"{int(missing.sum())} stream keys missing from lookup "
                                f"(first: {keys[missing.values].iloc[0]!r})")
         elif self.on_miss == "drop":
-            keep = ~sub[self.take_cols[0]].isna().values
+            keep = keys.isin(self.lookup.index).values
             batch = batch.filter(pa.array(keep))
-            sub = sub[~sub[self.take_cols[0]].isna().values]
+            sub = sub[keep]
         for c in self.take_cols:
             batch = batch.append_column(c, pa.array(sub[c].values))
         return batch

@@ -19,15 +19,25 @@ import pyarrow.compute as pc
 
 
 def _key_codes(t: pa.Table, key_cols: list[str]) -> np.ndarray:
+    """Dense int64 group code per row. NULL-key handling is explicit: each
+    null component is filled with a sentinel BEFORE encoding, so (a) all-null
+    keys form one well-defined group (SQL GROUP BY treats nulls as equal)
+    instead of NaN indices silently casting to an undefined int, and (b) in
+    composite keys (x, NULL) and (y, NULL) stay DISTINCT groups (the join
+    kernel would otherwise null the whole composite when any part is null)."""
+    _NULL = "\x00\x1e\x00"   # sentinel no real cast-to-string value produces
     if len(key_cols) == 1:
         key = t.column(key_cols[0])
         if not pa.types.is_string(key.type):
             key = pc.cast(key, pa.string())
+        key = pc.fill_null(key, _NULL)
     else:
         parts = []
         for c in key_cols:
             col = t.column(c)
-            parts.append(col if pa.types.is_string(col.type) else pc.cast(col, pa.string()))
+            if not pa.types.is_string(col.type):
+                col = pc.cast(col, pa.string())
+            parts.append(pc.fill_null(col, _NULL))
         key = pc.binary_join_element_wise(*parts, "\x1f")
     enc = pc.dictionary_encode(key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key)
     if isinstance(enc, pa.ChunkedArray):

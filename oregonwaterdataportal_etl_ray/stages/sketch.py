@@ -99,6 +99,12 @@ class TDigest:
 def digest_rows(t: pa.Table, group_col: str, value_col: str,
                 compression: float = 200.0) -> pa.Table:
     """map_batches combiner: one serialized digest row per group per batch."""
+    if not t.num_rows:
+        # same hazard the hll_rows guard documents: np.r_[True, ...] on an
+        # empty batch yields starts=[0] and the loop would index ks[0]
+        return pa.table({group_col: pa.array([], t[group_col].type),
+                         "d_means": pa.array([], pa.list_(pa.float64())),
+                         "d_weights": pa.array([], pa.list_(pa.float64()))})
     keys = t[group_col].to_numpy(zero_copy_only=False)
     vals = t[value_col].to_numpy(zero_copy_only=False)
     order = np.argsort(keys, kind="stable")

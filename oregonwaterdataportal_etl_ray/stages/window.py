@@ -78,6 +78,10 @@ def asof_prev_group(t: pa.Table, left_type: str = "click",
     et = t.column("event_type").to_numpy(zero_copy_only=False)[order]
     v = t.column("value").to_numpy(zero_copy_only=False)[order]
     ev = t.column("event_id").to_numpy(zero_copy_only=False)[order]
+    # float64 coercion: an int value column with no nulls arrives as int64,
+    # and np.isnan raises on integer arrays (nullable ints already surface
+    # as float64 + NaN)
+    v = v.astype(np.float64, copy=False)
     n = len(order)
     first = np.ones(n, dtype=bool)
     first[1:] = ks[1:] != ks[:-1]
@@ -109,6 +113,7 @@ def rolling_avg_group(t: pa.Table, window: int = 4) -> pa.Table:
     order, ks, _ = _sorted_keys(t, "user_id", "ts", "event_id")
     v = t.column("value").to_numpy(zero_copy_only=False)[order]
     ev = t.column("event_id").to_numpy(zero_copy_only=False)[order]
+    v = v.astype(np.float64, copy=False)   # same int-array isnan hazard
     n = len(order)
     first = np.ones(n, dtype=bool)
     first[1:] = ks[1:] != ks[:-1]

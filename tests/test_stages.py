@@ -469,3 +469,91 @@ def test_bigram_lm_scores_natural_text_better(ray_session):
     assert nat < shuf, (nat, shuf)
     out2 = scorer(t)
     assert out.equals(out2)
+
+
+def test_empty_batch_safety_of_vector_stages():
+    """Empty Arrow blocks (empty fragments, fully-filtered blocks) must pass
+    through the vectorized stages, not crash them: reshape(0, -1) raises in
+    numpy, np.r_[True, ...] on an empty batch fabricates a group, and NaN
+    dictionary indices cast to undefined ints."""
+    import numpy as np
+    import pyarrow as pa
+
+    from oregonwaterdataportal_etl_ray.stages.ann import _matrix
+    from oregonwaterdataportal_etl_ray.stages.dedup import BandExploder
+    from oregonwaterdataportal_etl_ray.stages.sketch import digest_rows
+
+    assert _matrix(pa.array([], pa.list_(pa.float32()))).shape == (0, 0)
+
+    empty_sig = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "minhash": pa.array([], pa.list_(pa.uint64()))})
+    out = BandExploder(num_bands=4)(empty_sig)
+    assert out.num_rows == 0 and "band_hash" in out.column_names
+
+    empty = pa.table({"g": pa.array([], pa.string()),
+                      "v": pa.array([], pa.float64())})
+    d = digest_rows(empty, "g", "v")
+    assert d.num_rows == 0 and d["d_means"].type == pa.list_(pa.float64())
+
+
+def test_keep_last_null_keys_are_distinct_groups():
+    """NULL key components: (x, NULL) and (y, NULL) are DISTINCT groups and
+    all-null keys form one well-defined group — previously NaN dictionary
+    indices cast to an undefined int collapsed them unpredictably."""
+    import pyarrow as pa
+
+    from oregonwaterdataportal_etl_ray.stages.kernels import keep_last_by
+
+    t = pa.table({
+        "a": pa.array(["x", "x", "y", None, None], pa.string()),
+        "b": pa.array([None, None, None, "q", "q"], pa.string()),
+        "ord": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    out = keep_last_by(t, ["a", "b"], ["ord"]).to_pandas() \
+        .sort_values("ord").reset_index(drop=True)
+    # groups: (x,NULL) -> ord 2; (y,NULL) -> ord 3; (NULL,q) -> ord 5
+    assert list(out["ord"]) == [2, 3, 5]
+
+
+def test_broadcast_lookup_null_value_is_not_a_miss(ray_session):
+    """A lookup key whose first taken column is legitimately null must
+    survive on_miss='drop' and not trip on_miss='error' — miss means the
+    KEY is absent from the lookup index, not that its value is null."""
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    from oregonwaterdataportal_etl_ray.stages.joins import BroadcastLookup
+
+    lookup = pd.DataFrame({"k": [1, 2], "val": [None, "b"]}).set_index("k")
+    batch = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+
+    kept = BroadcastLookup(lookup, "k", ["val"], on_miss="drop")(batch)
+    assert kept["k"].to_pylist() == [1, 2]      # key 1 kept despite null val
+
+    with pytest.raises(KeyError, match="1 stream keys"):
+        BroadcastLookup(lookup, "k", ["val"], on_miss="error")(batch)
+    ok = BroadcastLookup(lookup, "k", ["val"], on_miss="error")(
+        pa.table({"k": pa.array([1, 2], pa.int64())}))
+    assert ok.num_rows == 2
+
+
+def test_window_kernels_accept_int_value_columns():
+    """asof/rolling kernels must accept an int64 no-null value column
+    (np.isnan raises on integer arrays)."""
+    import pyarrow as pa
+
+    from oregonwaterdataportal_etl_ray.stages.window import (
+        asof_prev_group, rolling_avg_group)
+
+    t = pa.table({
+        "user_id": pa.array([1] * 6, pa.int64()),
+        "ts": pa.array(range(6), pa.int64()),
+        "event_id": pa.array(range(6), pa.int64()),
+        "event_type": pa.array(["view", "click"] * 3, pa.string()),
+        "value": pa.array([10, 20, 30, 40, 50, 60], pa.int64()),
+    })
+    out = asof_prev_group(t)
+    assert out.num_rows == 3
+    ra = rolling_avg_group(t, window=2)
+    assert ra.num_rows == 6
