@@ -155,6 +155,27 @@ def connected_components(edges: "ray.data.Dataset", src_col: str = "id_a",
 
     cur = edges.map_batches(canon, batch_format="pyarrow").materialize()
 
+    n_total = cur.count()
+    if n_total == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "component": pa.array([], pa.int64())}))
+    if n_total <= local_cap:
+        # Small-graph fast path — the COMMON dedup case: candidate pair
+        # sets are output-sized and usually fit one partition's budget, so
+        # one union-find task computes the exact CC directly. Skips the
+        # iterated-contraction rounds' per-round shuffle fixed costs (~3
+        # exchanges/round) that dominate wall time on tiny graphs; the
+        # contraction loop below remains the scale path the cap documents.
+        def solve(t: pa.Table) -> pa.Table:
+            nodes, lbl = _union_find_labels(
+                t.column("u").to_numpy(zero_copy_only=False),
+                t.column("v").to_numpy(zero_copy_only=False))
+            return pa.table({"node": pa.array(nodes, pa.int64()),
+                             "component": pa.array(lbl, pa.int64())})
+        return cur.repartition(1).map_batches(solve, batch_size=None,
+                                              batch_format="pyarrow")
+
     def init_mapping(t: pa.Table) -> pa.Table:
         a = t.column("u").to_numpy(zero_copy_only=False)
         b = t.column("v").to_numpy(zero_copy_only=False)

@@ -110,3 +110,17 @@ def test_fuzzy_dedup_corpus_invariants(sf_dir):
         f"SELECT count(*) FROM '{sf_dir}/documents.parquet'").fetchone()[0]
     # exactly one doc per cluster survives
     assert int(stats["n_docs"].sum()) == total - (n_pairs_docs - n_clusters)
+
+
+def test_fast_path_equals_contraction_path(ray_session):
+    """The small-graph one-task fast path and the iterated-contraction path
+    must produce identical components on the same random graph."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    u = rng.integers(0, 800, 3000)
+    v = rng.integers(0, 800, 3000)
+    ds = ray.data.from_arrow(pa.table({"id_a": u, "id_b": v}))
+    fast = _cc_dict(connected_components(ds))              # n <= local_cap
+    multi = _cc_dict(connected_components(ds, local_cap=64))
+    assert fast == multi
