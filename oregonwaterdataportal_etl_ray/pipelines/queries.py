@@ -52,6 +52,14 @@ def _conc() -> tuple[int, int]:
     return (1 if cpus < 8 else 2, cpus)
 
 
+def _round_half_away(x, ndigits: int):
+    """DuckDB-compatible ROUND (half AWAY from zero, sign-aware); Python
+    round() and np.round are half-to-even and diverge on exact halves."""
+    s = 10.0 ** ndigits
+    ax = np.floor(np.abs(x) * s + 0.5) / s
+    return np.sign(x) * ax
+
+
 def _round_cols(ndigits: int, cols: list[str]):
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         for c in cols:
@@ -303,8 +311,8 @@ def grouped_percentiles(sf_dir: str):
         v = g["value"].to_numpy(zero_copy_only=False)
         return pa.table({
             "event_type": [g["event_type"][0].as_py()],
-            "p50": pa.array([round(float(np.percentile(v, 50)), 6)]),
-            "p95": pa.array([round(float(np.percentile(v, 95)), 6)]),
+            "p50": pa.array([float(_round_half_away(np.percentile(v, 50), 6))]),
+            "p95": pa.array([float(_round_half_away(np.percentile(v, 95), 6))]),
         })
     return ds.groupby("event_type").map_groups(pct, batch_format="pyarrow")
 
@@ -677,10 +685,14 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
 """)
 def anti_join_customers(sf_dir: str):
     """Anti-join vs sink ids (J4; reference userCode/awqms/dag.py:158-179):
-    broadcast the committed-id set, filter membership vectorized. Semantics:
-    customers with no OPEN order (the 'not yet in sink' set)."""
-    orders = small_table(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
-    keys = ray.put(np.sort(orders.loc[orders["o_orderstatus"] == "O", "o_custkey"].unique()))
+    broadcast the committed-id set, filter membership vectorized. The key
+    set is built INSIDE a Ray task with column+predicate pushdown (orders
+    is fact-table-scale — it must never materialize on the driver; the
+    driver holds only the ObjectRef). Semantics: customers with no OPEN
+    order (the 'not yet in sink' set)."""
+    from ..sources.readers import load_key_set
+    keys = ray.remote(load_key_set).remote(
+        f"{sf_dir}/orders.parquet", "o_custkey", "o_orderstatus", "O")
     ds = read_table(sf_dir, "customer", columns=["c_custkey"])
     return ds.map_batches(MembershipFilter,
                           fn_constructor_kwargs=dict(keys_ref=keys, col="c_custkey", keep=False),
@@ -692,8 +704,11 @@ SELECT s_suppkey, s_name FROM supplier
 WHERE s_nationkey IN (SELECT DISTINCT c_nationkey FROM customer)
 """)
 def semi_join_suppliers(sf_dir: str):
-    cust = small_table(sf_dir, "customer", columns=["c_nationkey"])
-    keys = ray.put(np.sort(cust["c_nationkey"].unique()))
+    """Semi-join: the distinct nation-key set builds inside a Ray task
+    (pushdown read of ONE column; driver holds the ref only)."""
+    from ..sources.readers import load_key_set
+    keys = ray.remote(load_key_set).remote(
+        f"{sf_dir}/customer.parquet", "c_nationkey")
     ds = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"])
     out = ds.map_batches(MembershipFilter,
                          fn_constructor_kwargs=dict(keys_ref=keys, col="s_nationkey", keep=True),
@@ -1517,7 +1532,8 @@ def embedding_norms(sf_dir: str):
         from ..stages.ann import _matrix
         m = _matrix(t["embedding"]).astype(np.float64)
         return pa.table({"vec_id": t["vec_id"],
-                         "l2_norm": pa.array(np.round(np.sqrt((m * m).sum(axis=1)), 4))})
+                         "l2_norm": pa.array(_round_half_away(
+                             np.sqrt((m * m).sum(axis=1)), 4))})
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
@@ -2378,7 +2394,14 @@ def top_docs_per_lang(sf_dir: str):
         top = (df.sort_values(["quality_score", "doc_id"],
                               ascending=[False, True])
                  .groupby("lang", sort=False).head(k))
-        return pa.Table.from_pandas(top, preserve_index=False)
+        # explicit types: an empty batch's object-dtype lang would infer
+        # lang: null and break schema unification (same class as the
+        # vocab_topk / tfidf df_partial fixes)
+        return pa.table({
+            "lang": pa.array(top["lang"].to_numpy(object), pa.string()),
+            "doc_id": pa.array(top["doc_id"].to_numpy(np.int64), pa.int64()),
+            "quality_score": pa.array(
+                top["quality_score"].to_numpy(np.float64), pa.float64())})
 
     def final_rank(t: pa.Table) -> pa.Table:
         df = t.to_pandas().sort_values(["quality_score", "doc_id"],

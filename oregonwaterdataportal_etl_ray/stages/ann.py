@@ -263,6 +263,13 @@ class LSHBands:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _matrix(batch[self.vec_col])
+        if m.shape[0] == 0:
+            # do NOT build (0, L*b) planes off an empty first batch — they
+            # would be cached and crash every later non-empty batch's matmul
+            return pa.table({
+                self.id_col: pa.array([], batch[self.id_col].type),
+                "table_id": pa.array([], pa.int32()),
+                "bucket": pa.array([], pa.int64())})
         if self.planes is None:
             rng = np.random.default_rng(self.seed)
             self.planes = rng.standard_normal(

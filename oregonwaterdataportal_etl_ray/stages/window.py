@@ -127,7 +127,10 @@ def rolling_avg_group(t: pa.Table, window: int = 4) -> pa.Table:
     with np.errstate(invalid="ignore"):
         avg = np.where(wcnt > 0, (csum[pos + 1] - csum[lo]) / np.maximum(wcnt, 1),
                        np.nan)
-    avg_arr = pa.Array.from_pandas(pd.Series(np.round(avg, 6)).mask(wcnt == 0))
+    # DuckDB-compatible half-away rounding (np.round is half-to-even)
+    with np.errstate(invalid="ignore"):
+        avg = np.sign(avg) * (np.floor(np.abs(avg) * 1e6 + 0.5) / 1e6)
+    avg_arr = pa.Array.from_pandas(pd.Series(avg).mask(wcnt == 0))
     return pa.table({
         "user_id": pa.array(ks), "event_id": pa.array(ev),
         "avg4": avg_arr.cast(pa.float64()),

@@ -185,3 +185,23 @@ def test_global_row_number_is_total_order(ray_session):
     got = out.sort_values("rn", ignore_index=True)
     assert (got["v"].values == expect["v"].values).all()
     assert (got["id"].values == expect["id"].values).all()
+
+
+def test_lshbands_empty_first_batch_does_not_poison_planes():
+    """An empty first batch must not cache (0, L*b) hyperplanes — that
+    crashed every later non-empty batch's matmul in the same task."""
+    import numpy as np
+    import pyarrow as pa
+
+    from oregonwaterdataportal_etl_ray.stages.ann import LSHBands
+
+    stage = LSHBands(n_tables=4, planes_per_table=8)
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "embedding": pa.array([], pa.list_(pa.float32()))})
+    assert stage(empty).num_rows == 0
+    full = pa.table({"vec_id": pa.array([1, 2], pa.int64()),
+                     "embedding": pa.array([[0.1] * 16, [0.9] * 16],
+                                           pa.list_(pa.float32()))})
+    out = stage(full)
+    assert out.num_rows == 2 * 4 and set(out.column_names) == {
+        "vec_id", "table_id", "bucket"}
