@@ -1340,6 +1340,21 @@ def _marker_sum_sql(lang: str) -> str:
         f"len(regexp_extract_all(lower(text), '{m}'))" for m in _LANG_MARKERS[lang])
 
 
+@_q("compression_ratio")
+def compression_ratio(sf_dir: str):
+    """zlib-compressibility quality signal (Gopher/RefinedWeb-class public
+    heuristic): per-doc compressed/raw byte ratio — both tails (too
+    compressible = boilerplate, incompressible = junk) are removal
+    candidates. Rows-only (DuckDB has no compression function); the
+    monotonicity + determinism laws are pinned in tests/test_stages.py.
+    Actor-pool map_batches; per-payload zlib is the same bounded loop class
+    as the digest kernels."""
+    from ..stages.text import CompressionRatio
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(CompressionRatio, batch_format="pyarrow",
+                          batch_size=4096, concurrency=_conc())
+
+
 @_q("langid_pred", f"""
 WITH s AS (
   SELECT doc_id, lang,

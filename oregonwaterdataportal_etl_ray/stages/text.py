@@ -289,3 +289,54 @@ class BigramLmScorer:
         # half-away rounding, stable across summation orders at 1e-6
         return out.append_column("nll_bits", pa.array(
             np.floor(bits * 1e6 + 0.5) / 1e6, pa.float64()))
+
+
+class CompressionRatio:
+    """zlib-compressibility quality signal (the publicly described
+    Gopher/RefinedWeb-class heuristic: boilerplate and machine-generated
+    repetition compress far better than natural prose, and near-random or
+    binary-ish text barely compresses at all — both tails are junk
+    candidates). Emits (doc_id, n_bytes, n_compressed, compression_ratio)
+    with ratio = compressed/raw bytes, half-away-rounded to 6 digits.
+
+    map_batches actor stage. The per-row ``zlib.compress`` call is the same
+    unavoidable per-payload Python loop as the digest kernels — it
+    compresses zero-copy memoryview slices of the column's utf-8 buffer
+    (no per-row str materialization); ``level=1`` keeps it fast and the
+    ranking is insensitive to the level."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 level: int = 1):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.level = level
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import zlib
+
+        col = t[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        arr = pc.cast(col, pa.large_binary())
+        n = len(arr)
+        if n == 0:
+            return pa.table({
+                self.id_col: pa.array([], t[self.id_col].type),
+                "n_bytes": pa.array([], pa.int64()),
+                "n_compressed": pa.array([], pa.int64()),
+                "compression_ratio": pa.array([], pa.float64())})
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset:arr.offset + n + 1]
+        data = memoryview(arr.buffers()[2])
+        lvl = self.level
+        comp = np.fromiter(
+            (len(zlib.compress(data[off[i]:off[i + 1]], lvl)) for i in range(n)),
+            dtype=np.int64, count=n)
+        raw = (off[1:] - off[:-1]).astype(np.int64)
+        ratio = comp / np.maximum(raw, 1)
+        ratio = np.floor(ratio * 1e6 + 0.5) / 1e6   # half-away, ratios >= 0
+        return pa.table({
+            self.id_col: t[self.id_col],
+            "n_bytes": pa.array(raw, pa.int64()),
+            "n_compressed": pa.array(comp, pa.int64()),
+            "compression_ratio": pa.array(ratio, pa.float64())})

@@ -557,3 +557,34 @@ def test_window_kernels_accept_int_value_columns():
     assert out.num_rows == 3
     ra = rolling_avg_group(t, window=2)
     assert ra.num_rows == 6
+
+
+def test_compression_ratio_laws(ray_session):
+    """Compressibility laws: repetitive text compresses far better than
+    high-entropy text, ratios are deterministic, empty text is safe, and
+    the distributed drive equals the local kernel."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    from oregonwaterdataportal_etl_ray.stages.text import CompressionRatio
+
+    rng = np.random.default_rng(3)
+    noisy = "".join(chr(33 + int(x)) for x in rng.integers(0, 90, 4000))
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["spam " * 800, noisy, ""], pa.string()),
+    })
+    out = CompressionRatio()(t).to_pandas().set_index("doc_id")
+    assert out.loc[1, "compression_ratio"] < 0.05          # boilerplate
+    assert out.loc[2, "compression_ratio"] > 0.5           # high entropy
+    assert out.loc[3, "n_bytes"] == 0
+    again = CompressionRatio()(t).to_pandas().set_index("doc_id")
+    assert (out["compression_ratio"] == again["compression_ratio"]).all()
+
+    ds = ray.data.from_arrow(t)
+    dist = (ds.map_batches(CompressionRatio, batch_format="pyarrow",
+                           batch_size=2, concurrency=2)
+              .to_pandas().set_index("doc_id").sort_index())
+    assert (dist["n_compressed"] == out["n_compressed"].sort_index()).all()
