@@ -23,6 +23,7 @@ ray session, prints a small JSON line).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import shutil
@@ -120,15 +121,6 @@ def ensure_events(n_events: int) -> list[str]:
         GeneratorSpec, generate_change_events)
     out_dir = f"{EVENTS_CACHE}-{n_events}"
     marker = os.path.join(out_dir, "_DONE")
-    if os.path.exists(marker):
-        return sorted(
-            os.path.join(out_dir, f) for f in os.listdir(out_dir)
-            if f.endswith(".parquet"))
-    shutil.rmtree(out_dir, ignore_errors=True)
-    # generation is driver-local and one-time: let Arrow use real threads for
-    # it (the package caps workers at 1), then restore the worker-safe cap
-    prev_cpu = pa.cpu_count()
-    pa.set_cpu_count(max(4, (os.cpu_count() or 4) // 2))
     spec = GeneratorSpec(
         n_events=n_events,
         n_repos=max(50, n_events // 2000),
@@ -137,13 +129,39 @@ def ensure_events(n_events: int) -> list[str]:
         n_batches=max(8, n_events // 62_500),
         content_pad_max=400,
     )
+    # cache key = the WHOLE spec, not just n_events: a spec edit must
+    # regenerate, or later runs would silently bench a stale corpus
+    fp = json.dumps(dataclasses.asdict(spec), sort_keys=True)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == fp:
+                # numeric batch order, NOT lexicographic: past 4-digit batch
+                # numbers 'batch-10000' would sort before 'batch-2000' and
+                # replay far outside the engine's bounded reorder window
+                names = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+                names.sort(key=lambda n: int(n.split("-")[1].split(".")[0]))
+                return [os.path.join(out_dir, f) for f in names]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # generation is driver-local and one-time: let Arrow use real threads for
+    # it (the package caps workers at 1), then restore the worker-safe cap
+    prev_cpu = pa.cpu_count()
+    pa.set_cpu_count(max(4, (os.cpu_count() or 4) // 2))
     try:
         meta = generate_change_events(out_dir, spec)
     finally:
         pa.set_cpu_count(prev_cpu)
     with open(marker, "w") as f:
-        f.write(str(meta["n_delivered"]))
+        f.write(fp)
     return meta["files"]
+
+
+def _probe_worker(paths):
+    # module-level so it pickles under spawn/forkserver start methods too
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pa.set_cpu_count(1)
+    for f in paths:
+        pq.read_table(f)
 
 
 def host_probe_efficiency(lo: int, hi: int, n_events: int,
@@ -158,15 +176,9 @@ def host_probe_efficiency(lo: int, hi: int, n_events: int,
 
     files = ensure_events(n_events)[:n_files]
 
-    def worker(paths):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        pa.set_cpu_count(1)
-        for f in paths:
-            pq.read_table(f)
-
     def run(nw: int) -> float:
-        ps = [Process(target=worker, args=(files[i::nw],)) for i in range(nw)]
+        ps = [Process(target=_probe_worker, args=(files[i::nw],))
+              for i in range(nw)]
         t0 = time.time()
         for p in ps:
             p.start()
@@ -200,12 +212,15 @@ def run_cdc(n_events: int, n_epochs: int = 4) -> dict:
     shutil.rmtree(state_dir, ignore_errors=True)
     os.sync()
     t0 = time.time()
-    eng = CdcEngine(state_dir, num_buckets=64, compact_every=4)
-    res = eng.replay(files, epoch_size=max(1, len(files) // n_epochs))
-    t_replay = time.time() - t0
-    n_final = eng.final_dataset(with_sha=False).count()
-    dt = time.time() - t0
-    shutil.rmtree(state_dir, ignore_errors=True)
+    try:
+        eng = CdcEngine(state_dir, num_buckets=64, compact_every=4)
+        res = eng.replay(files, epoch_size=max(1, len(files) // n_epochs))
+        t_replay = time.time() - t0
+        n_final = eng.final_dataset(with_sha=False).count()
+        dt = time.time() - t0
+    finally:
+        # RAM-backed tmpfs: a failed run must not leave GBs resident
+        shutil.rmtree(state_dir, ignore_errors=True)
     # per-phase attribution (scaling evidence): merge = the stateful
     # shuffle+merge legs' summed wall; norm_wait = driver wall blocked on
     # read+normalize (0 when merge fully hides it); scan = final count
@@ -308,8 +323,8 @@ def main() -> None:
             **probe,
             f"phases_{lo}cpu": phase_of(runs[lo]),
             f"phases_{hi}cpu": phase_of(runs[hi]),
-            "metric": f"CDC replay scaling efficiency N={lo} -> 4N={hi} CPUs "
-                      "(best of repeats; fresh process per run, same input)",
+            "metric": f"CDC replay scaling efficiency N={lo} -> {hi / lo:g}N={hi} "
+                      "CPUs (best of repeats; fresh process per run, same input)",
             "value": round(eff, 3), "unit": "efficiency",
             "events": args.events, "repeats": args.repeats,
             f"events_per_sec_{lo}cpu": best[lo],
@@ -320,13 +335,15 @@ def main() -> None:
         return
 
     _init_ray(num_cpus)
-    t_start = time.time()
+    ensure_events(args.events or BENCH_EVENTS)   # one-time generation is
+    t_start = time.time()                        # NOT replay or battery work
     cdc = run_cdc(args.events or BENCH_EVENTS, args.epochs)
     queries = dict(cdc_replay=cdc["sec"])
     queries.update(run_battery(sf_dir))
     total = round(time.time() - t_start, 3)
     print(json.dumps({
-        "metric": "total wall sec: CDC replay (20M synthetic change events, 4 epochs) + operator battery",
+        "metric": f"total wall sec: CDC replay ({(args.events or BENCH_EVENTS) // 1_000_000}M "
+                  f"synthetic change events, {args.epochs} epochs) + operator battery",
         "value": total, "unit": "sec", "queries": queries,
         "sf": sf_dir, "num_cpus": num_cpus,
         "cdc_events": cdc["events"],

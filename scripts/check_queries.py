@@ -20,12 +20,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def to_pandas(res) -> pd.DataFrame:
-    import pyarrow as pa
-    if isinstance(res, pd.DataFrame):
-        return res
-    if isinstance(res, pa.Table):
-        return res.to_pandas()
-    return res.to_pandas()  # ray Dataset
+    # pa.Table and ray Dataset both expose .to_pandas()
+    return res if isinstance(res, pd.DataFrame) else res.to_pandas()
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -40,8 +36,9 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 logging_level="ERROR")
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", 8)),
+                 include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
