@@ -83,3 +83,71 @@ def test_sigkill_mid_replay_resumes_byte_identically(ray_session, tmp_path):
     assert len(final) == len(want)
     assert list(final["sha256"]) == list(want["sha256"])
     assert list(final["lsn"]) == list(want["lsn"])
+
+
+JOB_RETAINED = JOB.replace(
+    "CdcEngine(sys.argv[2], num_buckets=8, compact_every=3)",
+    "CdcEngine(sys.argv[2], num_buckets=8, compact_every=2, "
+    "retain_changelog=True)")
+
+
+def test_sigkill_with_retention_keeps_changelog_complete(ray_session, tmp_path):
+    """SIGKILL mid-replay with changelog retention on (compact_every=2, so
+    archives fire DURING the killed run): the archive-before-commit ordering
+    must guarantee that after resume the change stream is complete — its LWW
+    fold reconstructs the final table — and mid-history time travel matches
+    the prefix oracle. This is the crash window the hardlink archival
+    ordering exists for."""
+    ev_dir = str(tmp_path / "ev")
+    state = str(tmp_path / "state")
+    meta = generate_change_events(ev_dir, GeneratorSpec(
+        n_events=24_000, n_repos=30, paths_per_repo=25, n_batches=12,
+        seed=47, dup_rate=0.06, shuffle_frac=0.4, delete_rate=0.05))
+
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    proc = subprocess.Popen([sys.executable, "-c", JOB_RETAINED, ev_dir, state],
+                            env=env, start_new_session=True,
+                            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+    epochs_path = os.path.join(state, "epochs.json")
+
+    def committed() -> int:
+        try:
+            with open(epochs_path) as f:
+                return len(json.load(f))
+        except (OSError, json.JSONDecodeError):
+            return 0
+
+    deadline = time.time() + 120
+    while committed() < 5 and time.time() < deadline and proc.poll() is None:
+        time.sleep(0.05)
+    if proc.poll() is None:
+        os.killpg(proc.pid, signal.SIGKILL)
+        proc.wait()
+    assert committed() >= 5, "job never committed enough epochs to test resume"
+
+    eng = CdcEngine(state, num_buckets=8, compact_every=2,
+                    retain_changelog=True)
+    eng.replay(sorted(meta["files"]), epoch_size=1)
+
+    final = eng.final_table().to_pandas().sort_values(["repo", "path"]) \
+        .reset_index(drop=True)
+    want = oracle_replay(sorted(meta["files"])).sort_values(["repo", "path"]) \
+        .reset_index(drop=True)
+    assert list(final["sha256"]) == list(want["sha256"])
+    assert list(final["lsn"]) == list(want["lsn"])
+
+    # changelog completeness: the stream's whole-row LWW fold == final table
+    cl = eng.changelog_dataset().to_pandas()
+    last = cl.sort_values("lsn").groupby(["repo", "path"]).tail(1)
+    live = last[last["content"].notna()].sort_values(["repo", "path"])
+    assert list(live["lsn"]) == list(final["lsn"])
+
+    # mid-history time travel == prefix oracle (epoch_size=1: epoch i ==
+    # file i), across archives written by BOTH the killed and resumed runs
+    cut = 4
+    asof = eng.dataset_as_of(cut).to_pandas().sort_values(["repo", "path"]) \
+        .reset_index(drop=True)
+    o = oracle_replay(sorted(meta["files"])[:cut + 1]) \
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    assert list(asof["sha256"]) == list(o["sha256"])
