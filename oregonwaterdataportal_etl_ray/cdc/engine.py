@@ -123,7 +123,8 @@ def _unlink_superseded(state_dir: str, rel_paths: list[str], keep: set) -> None:
 
 
 def _merge_bucket(group: pa.Table, *, state_dir: str, epoch: int,
-                  compact_every: int, retain_changelog: bool = False) -> pa.Table:
+                  compact_every: int, retain_changelog: bool = False,
+                  compact_min_bytes: int | None = None) -> pa.Table:
     """Merge one bucket's epoch delta against its committed LSM state.
 
     Exactly-once under Ray task retry: (1) a manifest already at-or-past
@@ -176,7 +177,17 @@ def _merge_bucket(group: pa.Table, *, state_dir: str, epoch: int,
     base_file = m.base_file
     row_count = m.row_count
     superseded: list[str] = []
-    if runs and len(runs) >= compact_every:
+    # count-based trigger (bounded merge-on-read fan-in) OR size-tiered
+    # trigger (bursty epochs produce few but large runs — fold them before
+    # the read amplification compounds; the stat calls are per-bucket-epoch)
+    due = len(runs) >= compact_every
+    if not due and compact_min_bytes is not None and runs:
+        try:
+            due = sum(os.path.getsize(os.path.join(state_dir, r))
+                      for r in runs) >= compact_min_bytes
+        except OSError:
+            due = False
+    if runs and due:
         parts = ([_read_rel(state_dir, base_file)] if base_file else []) + \
                 [_read_rel(state_dir, r) for r in runs]
         merged = merge_sorted_runs(parts).sort_by(
@@ -476,11 +487,16 @@ class CdcEngine:
                  compact_every: int = 4,
                  normalize_concurrency: int | tuple | None = None,
                  normalize_batch_size: int = 128 * 1024,
-                 retain_changelog: bool = False):
+                 retain_changelog: bool = False,
+                 compact_min_bytes: int | None = None):
         self.state_dir = state_dir
         self.num_buckets = num_buckets
         self.evolution = evolution or EvolutionSpec()
         self.compact_every = compact_every
+        # size-tiered compaction: also fold a bucket's delta runs whenever
+        # their total bytes reach this threshold, regardless of run count
+        # (None = count-based only). See _merge_bucket.
+        self.compact_min_bytes = compact_min_bytes
         self.normalize_concurrency = normalize_concurrency
         self.normalize_batch_size = normalize_batch_size
         # retain_changelog: keep every epoch's LWW delta run (compaction
@@ -744,7 +760,8 @@ class CdcEngine:
         commit the epoch's lineage record."""
         merge = functools.partial(_merge_bucket, state_dir=self.state_dir,
                                   epoch=epoch, compact_every=self.compact_every,
-                                  retain_changelog=self.retain_changelog)
+                                  retain_changelog=self.retain_changelog,
+                                  compact_min_bytes=self.compact_min_bytes)
         # Sort-based groupby shuffle on the int32 bucket column. Measured
         # against ShuffleStrategy.HASH_SHUFFLE at 5M events: the sort exchange
         # costs <1 core-sec per epoch vs ~70 core-sec for the hash-aggregator
@@ -1090,7 +1107,8 @@ class CdcEngine:
                             compact_every=self.compact_every,
                             normalize_concurrency=self.normalize_concurrency,
                             normalize_batch_size=self.normalize_batch_size,
-                            retain_changelog=self.retain_changelog)
+                            retain_changelog=self.retain_changelog,
+                            compact_min_bytes=self.compact_min_bytes)
         if schema is not None:
             new_eng.save_schema(schema)
         if os.path.exists(self._bootstrap_path()):

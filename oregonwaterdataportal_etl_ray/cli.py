@@ -57,7 +57,8 @@ def _engine(args):
     return CdcEngine(args.state_dir, num_buckets=nb,
                      evolution=EvolutionSpec(renames=renames) if renames else None,
                      compact_every=args.compact_every,
-                     retain_changelog=retain)
+                     retain_changelog=retain,
+                     compact_min_bytes=getattr(args, "compact_min_bytes", None))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -77,6 +78,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="archive per-epoch delta runs under changelog/ at "
                          "compaction (enables the changelog subcommand and "
                          "time-travel reads) instead of unlinking them")
+    rp.add_argument("--compact-min-bytes", type=int, default=None,
+                    help="size-tiered compaction: also fold a bucket's runs "
+                         "when their total bytes reach this threshold "
+                         "(default: run-count trigger only)")
 
     bp = sub.add_parser("bootstrap", help="initial snapshot full-load: write "
                         "the current table state (parquet dir, one row per "

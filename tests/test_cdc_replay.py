@@ -333,3 +333,26 @@ def test_reshard_with_fully_empty_buckets(corpus, tmp_path, ray_session):
             ["repo", "path", "lsn"]],
         want2.sort_values(["repo", "path"]).reset_index(drop=True)[
             ["repo", "path", "lsn"]])
+
+
+def test_size_tiered_compaction(corpus, tmp_path, ray_session):
+    """compact_min_bytes folds a bucket's runs by total BYTES even when the
+    run count is far below compact_every; the merged state is unchanged."""
+    eng = CdcEngine(str(tmp_path / "state_sz"), num_buckets=8,
+                    compact_every=99, compact_min_bytes=1)
+    eng.replay(corpus["files"][:4], epoch_size=1)
+    for m in eng.lineage().values():
+        # every epoch's merge found over-threshold runs and folded them
+        assert len(m.runs) <= 1, (m.bucket, m.runs)
+    got = eng.final_table().to_pandas()[
+        ["repo", "path", "lsn", "sha256"]].reset_index(drop=True)
+    want = oracle_replay(corpus["files"][:4])[
+        ["repo", "path", "lsn", "sha256"]].reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, want)
+
+    # default engines are unaffected (count-based only)
+    eng2 = CdcEngine(str(tmp_path / "state_ct"), num_buckets=8,
+                     compact_every=99)
+    eng2.replay(corpus["files"][:4], epoch_size=1)
+    assert any(len(m.runs) > 1 for m in eng2.lineage().values())
