@@ -182,11 +182,14 @@ def _merge_bucket(group: pa.Table, *, state_dir: str, epoch: int,
     # the read amplification compounds; the stat calls are per-bucket-epoch)
     due = len(runs) >= compact_every
     if not due and compact_min_bytes is not None and runs:
-        try:
-            due = sum(os.path.getsize(os.path.join(state_dir, r))
-                      for r in runs) >= compact_min_bytes
-        except OSError:
-            due = False
+        def _size(rel: str) -> int:
+            # per-file tolerance: one unreadable run must not silently
+            # disable the trigger when the OTHERS already cross the bar
+            try:
+                return os.path.getsize(os.path.join(state_dir, rel))
+            except OSError:
+                return 0
+        due = sum(_size(r) for r in runs) >= compact_min_bytes
     if runs and due:
         parts = ([_read_rel(state_dir, base_file)] if base_file else []) + \
                 [_read_rel(state_dir, r) for r in runs]

@@ -126,6 +126,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="archive per-epoch delta runs under changelog/ "
                          "(auto-detected from the state dir's marker; flag "
                          "needed only for dirs created before the marker)")
+    tp.add_argument("--compact-min-bytes", type=int, default=None,
+                    help="size-tiered compaction: also fold a bucket's runs "
+                         "when their total bytes reach this threshold — the "
+                         "long-running tail mode is the primary consumer")
 
     cp = sub.add_parser("compact")
     cp.add_argument("--state-dir", required=True)

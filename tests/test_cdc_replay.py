@@ -342,17 +342,14 @@ def test_size_tiered_compaction(corpus, tmp_path, ray_session):
                     compact_every=99, compact_min_bytes=1)
     eng.replay(corpus["files"][:4], epoch_size=1)
     for m in eng.lineage().values():
-        # every epoch's merge found over-threshold runs and folded them
-        assert len(m.runs) <= 1, (m.bucket, m.runs)
-    got = eng.final_table().to_pandas()[
-        ["repo", "path", "lsn", "sha256"]].reset_index(drop=True)
-    want = oracle_replay(corpus["files"][:4])[
-        ["repo", "path", "lsn", "sha256"]].reset_index(drop=True)
-    import pandas as pd
-    pd.testing.assert_frame_equal(got, want)
+        # threshold=1: EVERY epoch's run folds immediately — a regression
+        # that folded only prior runs would leave exactly one live
+        assert len(m.runs) == 0, (m.bucket, m.runs)
+    _assert_matches_oracle(eng, corpus["files"][:4])
 
-    # default engines are unaffected (count-based only)
+    # default engines are unaffected (count-based only) AND still correct
     eng2 = CdcEngine(str(tmp_path / "state_ct"), num_buckets=8,
                      compact_every=99)
     eng2.replay(corpus["files"][:4], epoch_size=1)
     assert any(len(m.runs) > 1 for m in eng2.lineage().values())
+    _assert_matches_oracle(eng2, corpus["files"][:4])
