@@ -542,7 +542,8 @@ class CdcEngine:
                         f"num_buckets={num_buckets}; pass the value the dir "
                         "was built with")
             atomic_write_bytes(self._layout_path(state_dir),
-                               json.dumps({"num_buckets": num_buckets}).encode())
+                               json.dumps({"num_buckets": num_buckets,
+                                           "key_encoding": 2}).encode())
         elif persisted != num_buckets:
             raise ValueError(
                 f"state dir {state_dir!r} was built with num_buckets="
@@ -556,12 +557,23 @@ class CdcEngine:
     @classmethod
     def persisted_num_buckets(cls, state_dir: str) -> int | None:
         """The bucket count this state dir was built with, or None for a
-        fresh dir (or one written before layout persistence existed)."""
+        fresh dir (or one written before layout persistence existed).
+        Also refuses a key-encoding mismatch: the injective v2 key changes
+        bucket placement, so replaying a v1 dir with v2 code would split
+        keys across buckets (same corruption class as a bucket-count
+        drift)."""
         p = cls._layout_path(state_dir)
         if not os.path.exists(p):
             return None
         with open(p) as f:
-            return int(json.load(f)["num_buckets"])
+            data = json.load(f)
+        if data.get("key_encoding", 1) != 2:
+            raise ValueError(
+                f"state dir {state_dir!r} was built with key-encoding "
+                f"v{data.get('key_encoding', 1)}; this engine uses v2 "
+                "(injective length-prefixed keys) — rebuild the state dir "
+                "by replaying from the event log")
+        return int(data["num_buckets"])
 
     @staticmethod
     def retention_enabled(state_dir: str) -> bool:

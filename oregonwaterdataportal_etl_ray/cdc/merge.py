@@ -39,8 +39,17 @@ def parse_lsn(commit: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 
 def key_column(t: pa.Table) -> pa.Array:
-    """Combined primary key ``repo \\x1f path`` (PK per BASELINE input_hint)."""
-    return pc.binary_join_element_wise(t["repo"], t["path"], KEY_SEP)
+    """Combined primary key, INJECTIVE encoding: ``len(repo) SEP repo SEP
+    path`` (PK per BASELINE input_hint). A bare ``repo+SEP+path`` join is
+    not injective when a key value itself contains the separator —
+    ('a<SEP>b', 'c') and ('a', 'b<SEP>c') would share one key and
+    LWW-collapse distinct files. The char-length prefix makes decoding
+    positional, so equal encodings imply equal pairs. Key-encoding v2
+    (persisted in layout.json; v1 dirs must be rebuilt — bucket placement
+    differs)."""
+    return pc.binary_join_element_wise(
+        pc.cast(pc.utf8_length(t["repo"]), pa.string()),
+        t["repo"], t["path"], KEY_SEP)
 
 
 def _encode_keys(keys: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, pa.Array]:
@@ -145,7 +154,24 @@ class NormalizeEvents:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = conform_batch(batch, self.target, self.evolution)
-        t = t.append_column("lsn", parse_lsn(t["commit"]))
+        # Fail-loud validation (the reference's strict-validator law, M15):
+        # null PK components or null/unparseable commits must surface HERE
+        # with counts, not corrupt the merge — a null key would
+        # dictionary-encode to an INT64_MIN code (IndexError in bucketing,
+        # silent collapse in the reduce) and a null LSN would WIN LWW
+        # (NaN sorts last in lexsort).
+        bad = {c: t.column(c).null_count for c in ("repo", "path", "commit")
+               if t.column(c).null_count}
+        if bad:
+            raise ValueError(
+                f"malformed change events: null values in key/commit "
+                f"columns {bad} (of {t.num_rows} rows in batch)")
+        lsn_col = parse_lsn(t["commit"])
+        if lsn_col.null_count:
+            raise ValueError(
+                f"malformed change events: {lsn_col.null_count} commits "
+                "with unparseable LSN prefix")
+        t = t.append_column("lsn", lsn_col)
         keys = key_column(t)
         # NOTE: the combined key is NOT appended as a column — it would
         # duplicate repo+path (~13% of every byte the shuffle and the LSM
@@ -166,7 +192,7 @@ class NormalizeEvents:
         return t.take(pa.array(np.sort(winners)))
 
 
-def merge_sorted_runs(tables: list[pa.Table]) -> pa.Table:
+def merge_sorted_runs(tables: list[pa.Table]) -> pa.Table | None:
     """LWW-merge several winner tables for the same bucket (LSM merge-on-read).
 
     Each input already has one row per key; output again has one row per key

@@ -17,7 +17,10 @@ from .schema import EvolutionSpec
 
 
 def sha256_series(s: pd.Series) -> pd.Series:
-    return s.map(lambda x: hashlib.sha256(x.encode()).hexdigest())
+    # binary content columns surface as bytes in pandas; the engine's
+    # sha256_hex handles both, so the oracle must too
+    return s.map(lambda x: hashlib.sha256(
+        x if isinstance(x, bytes) else x.encode()).hexdigest())
 
 
 def oracle_replay(files: list[str], evolution: EvolutionSpec | None = None) -> pd.DataFrame:
@@ -29,6 +32,13 @@ def oracle_replay(files: list[str], evolution: EvolutionSpec | None = None) -> p
         df = df.rename(columns=evolution.renames)
         frames.append(df)
     ev = pd.concat(frames, ignore_index=True, sort=False)
+    # parity with the engine's fail-loud normalize: null PK components or
+    # commits must raise here too, not silently drop (pandas groupby would
+    # discard null keys with dropna=True and mask engine misbehavior)
+    bad = {c: int(ev[c].isna().sum()) for c in ("repo", "path", "commit")
+           if ev[c].isna().any()}
+    if bad:
+        raise ValueError(f"malformed change events: null values in {bad}")
     ev["lsn"] = ev["commit"].str[:12].astype("int64")
     ev = ev.sort_values("lsn", kind="stable")
     final = ev.groupby(["repo", "path"], as_index=False, sort=False).tail(1)

@@ -23,6 +23,26 @@ import pyarrow as pa
 import pyarrow.dataset as pads
 
 CORE_COLUMNS = ("repo", "path", "commit", "lang", "content")
+# names the engine appends itself — an input column with one of these names
+# would collide (duplicate fields crash pyarrow lookups / make the shuffle
+# key ambiguous), so planning rejects them loudly
+RESERVED_COLUMNS = ("lsn", "bucket", "sha256")
+
+
+def _validate_and_order(renamed: pa.Schema, origin: str = "input") -> pa.Schema:
+    """Shared tail of schema planning: strict core-column presence, reserved
+    engine-name rejection, stable core-first ordering. ONE definition so the
+    two planners can't drift."""
+    missing = [c for c in CORE_COLUMNS if renamed.get_field_index(c) < 0]
+    if missing:
+        raise ValueError(f"{origin} missing core columns after remap: {missing}")
+    reserved = [c for c in RESERVED_COLUMNS if renamed.get_field_index(c) >= 0]
+    if reserved:
+        raise ValueError(
+            f"{origin} uses reserved engine column names {reserved}; rename "
+            "them (EvolutionSpec) — the engine appends these itself")
+    extras = [f for f in renamed if f.name not in CORE_COLUMNS]
+    return pa.schema([renamed.field(c) for c in CORE_COLUMNS] + extras)
 
 
 @dataclass(frozen=True)
@@ -37,38 +57,37 @@ def conform_schema(s: pa.Schema, evolution: EvolutionSpec) -> pa.Schema:
     used when the input is a Dataset, e.g. a bootstrap snapshot)."""
     renamed = pa.schema(
         [pa.field(evolution.renames.get(f.name, f.name), f.type) for f in s])
-    missing = [c for c in CORE_COLUMNS if renamed.get_field_index(c) < 0]
-    if missing:
-        raise ValueError(f"input missing core columns after remap: {missing}")
-    extras = [f for f in renamed if f.name not in CORE_COLUMNS]
-    return pa.schema([renamed.field(c) for c in CORE_COLUMNS] + extras)
+    return _validate_and_order(renamed)
 
 
 def plan_target_schema(paths: list[str], evolution: EvolutionSpec) -> pa.Schema:
     """Unify the schemas of all input files (footer metadata only).
 
     Renames are applied before unification; conflicting numeric widths promote
-    permissively (int32+int64 -> int64). Raises if a core column is missing
-    from the unified result (strict-validation mechanism).
+    permissively (int32+int64 -> int64). Strict validation is PER FILE for
+    core columns — a single file missing `commit` would otherwise pass the
+    union check, get null-filled per batch, and its null LSNs would win LWW
+    (NaN sorts last) over genuine updates — and union-level for reserved
+    engine names.
     """
     from concurrent.futures import ThreadPoolExecutor
 
     def one(p: str) -> pa.Schema:
         s = pads.dataset(p, format="parquet").schema
-        return pa.schema(
+        renamed = pa.schema(
             [pa.field(evolution.renames.get(f.name, f.name), f.type) for f in s])
+        missing = [c for c in CORE_COLUMNS if renamed.get_field_index(c) < 0]
+        if missing:
+            raise ValueError(
+                f"batch file {p!r} missing core columns after remap: {missing}")
+        return renamed
 
     # footer reads are I/O-bound; a thread pool keeps planning off the
     # critical path even for thousands of batch files
     with ThreadPoolExecutor(max_workers=16) as ex:
         schemas = list(ex.map(one, paths))
     unified = pa.unify_schemas(schemas, promote_options="permissive")
-    missing = [c for c in CORE_COLUMNS if unified.get_field_index(c) < 0]
-    if missing:
-        raise ValueError(f"input missing core columns after remap: {missing}")
-    # stable order: core columns first, extras in first-seen order
-    extras = [f for f in unified if f.name not in CORE_COLUMNS]
-    return pa.schema([unified.field(c) for c in CORE_COLUMNS] + extras)
+    return _validate_and_order(unified)
 
 
 def conform_batch(batch: pa.Table, target: pa.Schema, evolution: EvolutionSpec) -> pa.Table:
