@@ -139,17 +139,48 @@ def _adpcm_decode_blocks(data: bytes, block_align: int) -> np.ndarray:
     return out.reshape(-1)
 
 
+def _ima_quantize(x: np.ndarray, pred: int, index: int) -> tuple[np.ndarray, int]:
+    """Standard IMA ADPCM quantizer (public spec / IMA ADPCM reference):
+    per sample, shift-subtract the step into a 4-bit nibble and advance the
+    predictor with the SAME reconstruction the decoder uses, so encode and
+    decode stay in lockstep. Sequential per sample by nature (quantizer
+    feedback); payloads here are synthesis-sized."""
+    step_t, idx_t = _IMA_STEP, _IMA_INDEX
+    nibbles = np.empty(len(x), np.uint8)
+    for i in range(len(x)):
+        step = int(step_t[index])
+        diff = int(x[i]) - pred
+        nib = 8 if diff < 0 else 0
+        d = -diff if diff < 0 else diff
+        if d >= step:
+            nib |= 4
+            d -= step
+        if d >= step >> 1:
+            nib |= 2
+            d -= step >> 1
+        if d >= step >> 2:
+            nib |= 1
+        recon = ((step >> 3) + (step if nib & 4 else 0)
+                 + ((step >> 1) if nib & 2 else 0)
+                 + ((step >> 2) if nib & 1 else 0))
+        pred = pred - recon if nib & 8 else pred + recon
+        pred = -32768 if pred < -32768 else (32767 if pred > 32767 else pred)
+        index += int(idx_t[nib])
+        index = 0 if index < 0 else (88 if index > 88 else index)
+        nibbles[i] = nib
+    return nibbles, index
+
+
 def encode_adpcm_wav(samples: np.ndarray, sample_rate: int = 16_000,
                      block_align: int = 256) -> bytes:
     """(N,) int16 mono -> IMA ADPCM WAV bytes (format 0x11).
 
-    Block packing is ours; the per-sample quantizer feedback loop runs
-    through stdlib ``audioop.lin2adpcm`` (same IMA recurrence, C speed),
-    with the nibble order swapped to the WAV low-nibble-first layout. The
+    Block packing AND the per-sample IMA quantizer are ours (pure python —
+    stdlib ``audioop`` is removed in Python 3.13, PEP 594): quantize with
+    the shift-subtract rule and track the predictor with EXACTLY the
+    decoder's reconstruction arithmetic, low-nibble-first WAV layout. The
     step index carries across blocks via each block's header, like standard
     encoders."""
-    import audioop
-
     assert samples.ndim == 1 and samples.dtype == np.int16
     spb = (block_align - 4) * 2 + 1
     n = len(samples)
@@ -159,12 +190,11 @@ def encode_adpcm_wav(samples: np.ndarray, sample_rate: int = 16_000,
     index = 0
     blocks = []
     for b in range(n_blocks):
-        x = padded[b * spb:(b + 1) * spb]
+        x = padded[b * spb:(b + 1) * spb].astype(np.int32)
         head = struct.pack("<hBB", int(x[0]), index, 0)
-        frag, (pred, index) = audioop.lin2adpcm(
-            x[1:].tobytes(), 2, (int(x[0]), index))
-        nb = np.frombuffer(frag, np.uint8)
-        blocks.append(head + (((nb & 0x0F) << 4) | (nb >> 4)).tobytes())
+        nibbles, index = _ima_quantize(x[1:], int(x[0]), index)
+        lo, hi = nibbles[0::2], nibbles[1::2]
+        blocks.append(head + (lo | (hi << 4)).astype(np.uint8).tobytes())
     data = b"".join(blocks)
     byte_rate = (sample_rate * block_align) // spb + 1
     hdr = (b"RIFF" + struct.pack("<I", 52 + len(data)) + b"WAVE" +
@@ -193,6 +223,21 @@ class AudioFeatures(_PayloadFeatureStage):
         rms = float(np.sqrt(np.mean(np.square(x)))) if len(x) else 0.0
         return (len(x) / rate, rate, x.shape[1], rms)
 
+    @staticmethod
+    def _pcm_features(fmt: tuple, data: bytes) -> tuple:
+        """PCM features from an ALREADY-PARSED payload — __call__ has the
+        (fmt, data) in hand, so re-walking the RIFF via decode_wav would
+        parse every PCM payload twice on the hot path."""
+        _, channels, sample_rate, _, _, bits = fmt
+        if bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+        else:
+            x = (np.frombuffer(data, np.uint8).astype(np.float32) - 128.0) / 128.0
+        n = len(x) // channels
+        x = x[:n * channels]
+        rms = float(np.sqrt(np.mean(np.square(x)))) if len(x) else 0.0
+        return (n / sample_rate, sample_rate, channels, rms)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
         feats: list[tuple | None] = [None] * len(payloads)
@@ -205,7 +250,7 @@ class AudioFeatures(_PayloadFeatureStage):
                     adpcm_groups.setdefault(fmt[4], []).append(
                         (i, data, n_fact, fmt[2]))
                 else:
-                    feats[i] = self._features(p)
+                    feats[i] = self._pcm_features(fmt, data)
             except Exception:
                 if self.on_error == "raise":
                     raise

@@ -300,6 +300,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         full.append(p[:h, :w])
     if len(full) == 1:
         return np.clip(full[0] + 0.5, 0, 255).astype(np.uint8)
+    if len(full) != 3:
+        # CMYK/YCCK (4-component Adobe) or 2-component: applying YCbCr math
+        # to the first 3 planes would be confidently WRONG output — fail
+        # loud like the progressive-JPEG path
+        raise NotImplementedError(
+            f"only 1- or 3-component JPEGs supported, got {len(full)}")
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     rgb = np.stack([y + 1.402 * cr,
                     y - 0.344136 * cb - 0.714136 * cr,

@@ -95,7 +95,8 @@ def parse_mjpeg_avi(payload: bytes) -> dict:
                 if fcc == b"vids":
                     if scale < 1 or rate < 1:
                         raise ValueError("corrupt AVI stream header")
-                    fps = rate // scale
+                    # nearest int, not floor: NTSC 30000/1001 is 30, not 29
+                    fps = (rate + scale // 2) // scale
             elif tag[2:] in (b"dc", b"db"):
                 frames.append((body_at, length))
             pos = body_at + length + (length & 1)
@@ -169,7 +170,9 @@ class MjpegFrameSampler:
                           "mean_intensity"):
                     out[k].append(None)
         return pa.table({
-            self.id_col: pa.array(out["id"]),
+            # explicit id type: a zero-row batch would otherwise infer a
+            # null-typed id column and break block-schema unification
+            self.id_col: pa.array(out["id"], batch[self.id_col].type),
             "frame_idx": pa.array(out["frame_idx"], pa.int32()),
             "n_frames": pa.array(out["n_frames"], pa.int32()),
             "fps": pa.array(out["fps"], pa.int32()),

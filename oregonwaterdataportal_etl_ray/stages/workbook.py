@@ -74,29 +74,51 @@ def split_source(ds, sheet_col: str, sheets: dict[str, list[str]],
         if missing:
             raise ValueError(
                 f"sheet {name!r} validation failed: missing columns {missing}")
-        view = src.filter(expr=f"{sheet_col} == {name!r}")
+        # batch-level equality filter (NOT an interpolated expr string — a
+        # sheet name containing quotes/expression syntax must stay data)
+        def _eq(t: pa.Table, _n=name) -> pa.Table:
+            return t.filter(pc.equal(t[sheet_col], _n))
+        view = src.map_batches(_eq, batch_format="pyarrow")
         out[name] = view.select_columns(
             [c for c in src_cols if c in declared])
     return out
 
 
 def _cogroup_nest(t: pa.Table, parent_key: str, parent_cols: list[str],
-                  child_cols: list[str], order_cols: list[str],
+                  child_cols: list[tuple[str, str]], order_cols: list[str],
                   list_col: str, on_orphan: str = "drop") -> pa.Table:
     """ONE bucket of unioned parent+child rows -> one row per matched parent
     with its parent columns and a sorted list<struct> of children. Fully
     vectorized: one sort, boundary offsets, one ListArray build, one
-    searchsorted parent match — no per-parent Python loop."""
+    searchsorted parent match — no per-parent Python loop.
+
+    ``child_cols``: (stored_name, output_struct_field_name) pairs — stored
+    names are disambiguated upstream so parent/child name collisions can't
+    produce duplicate columns in the tagged union."""
     role = t["__role"].to_numpy(zero_copy_only=False)
     pt = t.filter(pa.array(role == 0))
     ct = t.filter(pa.array(role == 1))
+    # NULL join keys: a null can't match any parent — honor on_orphan
+    # instead of letting searchsorted raise TypeError on a None comparison.
+    # Null-key PARENTS can't match either (inner semantics drop them).
+    n_null_child = ct[parent_key].null_count
+    if n_null_child:
+        if on_orphan == "error":
+            raise ValueError(
+                f"orphan children: {n_null_child} child rows have a NULL "
+                "parent key")
+        ct = ct.filter(pc.is_valid(ct[parent_key]))
+    if pt[parent_key].null_count:
+        pt = pt.filter(pc.is_valid(pt[parent_key]))
     if pt.num_rows == 0 or ct.num_rows == 0:
         if on_orphan == "error" and ct.num_rows and pt.num_rows == 0:
             first = ct[parent_key][0].as_py()
             raise ValueError(
                 f"orphan children: {ct.num_rows} child rows reference parent "
                 f"keys absent from the parent set (first key: {first!r})")
-        child_struct_t = pa.struct([t.schema.field(c) for c in child_cols])
+        child_struct_t = pa.struct(
+            [pa.field(out, t.schema.field(stored).type)
+             for stored, out in child_cols])
         return pa.table(
             {parent_key: pa.array([], t.schema.field(parent_key).type),
              **{c: pa.array([], t.schema.field(c).type) for c in parent_cols},
@@ -112,7 +134,8 @@ def _cogroup_nest(t: pa.Table, parent_key: str, parent_cols: list[str],
     starts = np.flatnonzero(new)
     offsets = np.concatenate([starts, [len(ck)]]).astype(np.int32)
     child_struct = pa.StructArray.from_arrays(
-        [ct[c].combine_chunks() for c in child_cols], names=child_cols)
+        [ct[stored].combine_chunks() for stored, _ in child_cols],
+        names=[out for _, out in child_cols])
     lists = pa.ListArray.from_arrays(pa.array(offsets), child_struct)
     nest_keys = ck[starts]
 
@@ -159,6 +182,7 @@ def nest_children(parent_ds, child_ds, parent_key: str, child_key: str,
     order_cols = order_cols or []
     num_buckets = num_buckets or derived_num_buckets()
     parent_cols = [c for c in parent_ds.schema().names if c != parent_key]
+    _CP = "__c\x1f"   # internal child-column prefix (collision-proof)
 
     def tag(role: int, pad_cols):
         def fn(t: pa.Table) -> pa.Table:
@@ -173,6 +197,13 @@ def nest_children(parent_ds, child_ds, parent_key: str, child_key: str,
 
     child_renamed = child_ds if child_key == parent_key else \
         child_ds.rename_columns({child_key: parent_key})
+    # prefix every child non-key column: a child column sharing a parent
+    # column's name (e.g. both sides carrying 'name') would otherwise be
+    # APPENDED as null padding next to the real column — duplicate fields
+    # and corrupted nesting
+    c_base = child_renamed.schema().base_schema
+    child_renamed = child_renamed.rename_columns(
+        {f.name: _CP + f.name for f in c_base if f.name != parent_key})
     p_schema = parent_ds.schema().base_schema
     c_schema = child_renamed.schema().base_schema
     pad_parent = [(f.name, f.type) for f in c_schema if f.name != parent_key]
@@ -184,10 +215,13 @@ def nest_children(parent_ds, child_ds, parent_key: str, child_key: str,
                 [n for n, _ in pad_child] + ["__bucket", "__role"]
     tagged_p = tagged_p.select_columns(col_order)
     tagged_c = tagged_c.select_columns(col_order)
+    stored_child_cols = [(_CP + c, c) for c in child_cols]
+    stored_order = [_CP + c for c in order_cols]
     return (tagged_p.union(tagged_c)
                     .groupby("__bucket")
                     .map_groups(
                         lambda g: _cogroup_nest(g, parent_key, parent_cols,
-                                                child_cols, order_cols,
+                                                stored_child_cols,
+                                                stored_order,
                                                 list_col, on_orphan),
                         batch_format="pyarrow"))
