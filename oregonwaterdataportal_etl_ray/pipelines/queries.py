@@ -2144,20 +2144,31 @@ def audio_decode_real(sf_dir: str):
     exactly header/fact-chunk-recoverable, so they must equal the md5-byte
     arithmetic the oracle computes in SQL; the lossy side (ADPCM waveform
     SNR) is pinned in pytest, not here."""
-    from ..stages.audiocodec import AudioFeatures, encode_adpcm_wav, encode_wav
+    from ..stages.audiocodec import AudioFeatures, encode_adpcm_wavs, encode_wav
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def synthesize(t: pa.Table) -> pa.Table:
         hexes = md5_hex(pc.fill_null(t["text"], "")).to_pylist()
-        payloads = []
-        for hx in hexes:
+        payloads: list = [None] * len(hexes)
+        adpcm_rows, adpcm_x, adpcm_rates = [], [], []
+        for i, hx in enumerate(hexes):
             d = bytes.fromhex(hx[:8])
             n = 300 + d[0] * 4
             rate = 8000 if d[1] % 2 == 0 else 16000
             x = (8000.0 * np.sin(2 * np.pi * (100 + d[2] * 4)
                                  * np.arange(n) / rate)).astype(np.int16)
-            enc = encode_wav if d[3] % 2 == 0 else encode_adpcm_wav
-            payloads.append(enc(x, rate))
+            if d[3] % 2 == 0:
+                payloads[i] = encode_wav(x, rate)
+            else:
+                # defer: the ADPCM quantizer batches ACROSS payloads (one
+                # recurrence over all docs' blocks), so collect first
+                adpcm_rows.append(i)
+                adpcm_x.append(x)
+                adpcm_rates.append(rate)
+        if adpcm_rows:
+            for i, wav in zip(adpcm_rows,
+                              encode_adpcm_wavs(adpcm_x, adpcm_rates)):
+                payloads[i] = wav
         return pa.table({"doc_id": t["doc_id"],
                          "payload": pa.array(payloads, pa.binary())})
 

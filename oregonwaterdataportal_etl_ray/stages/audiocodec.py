@@ -139,70 +139,98 @@ def _adpcm_decode_blocks(data: bytes, block_align: int) -> np.ndarray:
     return out.reshape(-1)
 
 
-def _ima_quantize(x: np.ndarray, pred: int, index: int) -> tuple[np.ndarray, int]:
-    """Standard IMA ADPCM quantizer (public spec / IMA ADPCM reference):
-    per sample, shift-subtract the step into a 4-bit nibble and advance the
-    predictor with the SAME reconstruction the decoder uses, so encode and
-    decode stay in lockstep. Sequential per sample by nature (quantizer
-    feedback); payloads here are synthesis-sized."""
-    step_t, idx_t = _IMA_STEP, _IMA_INDEX
-    nibbles = np.empty(len(x), np.uint8)
-    for i in range(len(x)):
-        step = int(step_t[index])
-        diff = int(x[i]) - pred
-        nib = 8 if diff < 0 else 0
-        d = -diff if diff < 0 else diff
-        if d >= step:
-            nib |= 4
-            d -= step
-        if d >= step >> 1:
-            nib |= 2
-            d -= step >> 1
-        if d >= step >> 2:
-            nib |= 1
-        recon = ((step >> 3) + (step if nib & 4 else 0)
-                 + ((step >> 1) if nib & 2 else 0)
-                 + ((step >> 2) if nib & 1 else 0))
-        pred = pred - recon if nib & 8 else pred + recon
-        pred = -32768 if pred < -32768 else (32767 if pred > 32767 else pred)
-        index += int(idx_t[nib])
-        index = 0 if index < 0 else (88 if index > 88 else index)
-        nibbles[i] = nib
-    return nibbles, index
+def _ima_quantize_blocks(x2d: np.ndarray, pred0: np.ndarray,
+                         index0: np.ndarray) -> np.ndarray:
+    """Standard IMA ADPCM quantizer (public spec), vectorized ACROSS blocks
+    exactly like the decoder: blocks are independent (each header carries
+    its own predictor + step index), so the only sequential loop is the
+    within-block sample position, running numpy ops over all blocks at
+    each step. Shift-subtract nibble selection; the predictor advances
+    with the decoder's EXACT reconstruction, keeping encode and decode in
+    lockstep."""
+    n_blocks, m = x2d.shape
+    nib = np.empty((n_blocks, m), np.uint8)
+    pred = pred0.astype(np.int32).copy()
+    index = index0.astype(np.int32).copy()
+    for i in range(m):
+        step = _IMA_STEP[index]
+        diff = x2d[:, i] - pred
+        neg = diff < 0
+        d = np.abs(diff)
+        b4 = d >= step
+        d = d - np.where(b4, step, 0)
+        h = step >> 1
+        b2 = d >= h
+        d = d - np.where(b2, h, 0)
+        q = step >> 2
+        b1 = d >= q
+        n = ((neg.astype(np.uint8) << 3) | (b4.astype(np.uint8) << 2)
+             | (b2.astype(np.uint8) << 1) | b1.astype(np.uint8))
+        recon = (step >> 3) + np.where(b4, step, 0) \
+            + np.where(b2, h, 0) + np.where(b1, q, 0)
+        pred = np.clip(np.where(neg, pred - recon, pred + recon),
+                       -32768, 32767)
+        index = np.clip(index + _IMA_INDEX[n], 0, 88)
+        nib[:, i] = n
+    return nib
 
 
 def encode_adpcm_wav(samples: np.ndarray, sample_rate: int = 16_000,
                      block_align: int = 256) -> bytes:
-    """(N,) int16 mono -> IMA ADPCM WAV bytes (format 0x11).
+    """(N,) int16 mono -> IMA ADPCM WAV bytes (format 0x11). One-payload
+    convenience wrapper over :func:`encode_adpcm_wavs`."""
+    return encode_adpcm_wavs([samples], [sample_rate], block_align)[0]
 
-    Block packing AND the per-sample IMA quantizer are ours (pure python —
-    stdlib ``audioop`` is removed in Python 3.13, PEP 594): quantize with
-    the shift-subtract rule and track the predictor with EXACTLY the
-    decoder's reconstruction arithmetic, low-nibble-first WAV layout. The
-    step index carries across blocks via each block's header, like standard
-    encoders."""
-    assert samples.ndim == 1 and samples.dtype == np.int16
+
+def encode_adpcm_wavs(samples_list: list[np.ndarray],
+                      sample_rates: list[int],
+                      block_align: int = 256) -> list[bytes]:
+    """Encode MANY int16 mono waveforms to IMA ADPCM WAVs in one quantizer
+    pass: every payload's blocks concatenate into a single (total_blocks,
+    samples_per_block) matrix, so the within-block recurrence runs numpy
+    ops over ALL payloads' blocks at once — batching across payloads is
+    what makes the pure-numpy encoder fast when each payload holds only a
+    few blocks (stdlib ``audioop`` is removed in Python 3.13, PEP 594).
+
+    Blocks are encoded independently; each header carries its own
+    predictor plus a step index seeded from the block's mean |delta| (a
+    reset-to-0 index slope-overloads for dozens of samples on loud
+    signals; the signal-matched seed adapts instantly — standard encoder
+    practice, and the decoder follows the header). Low-nibble-first WAV
+    layout."""
     spb = (block_align - 4) * 2 + 1
-    n = len(samples)
-    n_blocks = max(1, -(-n // spb))
-    padded = np.zeros(n_blocks * spb, np.int16)
-    padded[:n] = samples
-    index = 0
-    blocks = []
-    for b in range(n_blocks):
-        x = padded[b * spb:(b + 1) * spb].astype(np.int32)
-        head = struct.pack("<hBB", int(x[0]), index, 0)
-        nibbles, index = _ima_quantize(x[1:], int(x[0]), index)
-        lo, hi = nibbles[0::2], nibbles[1::2]
-        blocks.append(head + (lo | (hi << 4)).astype(np.uint8).tobytes())
-    data = b"".join(blocks)
-    byte_rate = (sample_rate * block_align) // spb + 1
-    hdr = (b"RIFF" + struct.pack("<I", 52 + len(data)) + b"WAVE" +
-           b"fmt " + struct.pack("<IHHIIHHHH", 20, 0x11, 1, sample_rate,
-                                 byte_rate, block_align, 4, 2, spb) +
-           b"fact" + struct.pack("<II", 4, n) +
-           b"data" + struct.pack("<I", len(data)))
-    return hdr + data
+    counts, chunks = [], []
+    for s in samples_list:
+        assert s.ndim == 1 and s.dtype == np.int16
+        nb = max(1, -(-len(s) // spb))
+        counts.append(nb)
+        p = np.zeros(nb * spb, np.int16)
+        p[:len(s)] = s
+        chunks.append(p.reshape(nb, spb))
+    x2d = np.concatenate(chunks).astype(np.int32)
+    mad = np.abs(np.diff(x2d, axis=1)).mean(axis=1).astype(np.int64)
+    idx0 = np.clip(np.searchsorted(_IMA_STEP, np.maximum(mad, 1)), 0, 88)
+    nib = _ima_quantize_blocks(x2d[:, 1:], x2d[:, 0], idx0)
+    packed = (nib[:, 0::2] | (nib[:, 1::2] << 4)).astype(np.uint8)
+    heads = np.zeros((len(x2d), 4), np.uint8)
+    heads[:, :2] = x2d[:, 0].astype("<i2")[:, None].view(np.uint8)
+    heads[:, 2] = idx0.astype(np.uint8)
+    blocks = np.concatenate([heads, packed], axis=1)
+
+    out, at = [], 0
+    for s, rate, nb in zip(samples_list, sample_rates, counts):
+        data = blocks[at:at + nb].tobytes()
+        at += nb
+        n = len(s)
+        byte_rate = (rate * block_align) // spb + 1
+        hdr = (b"RIFF" + struct.pack("<I", 52 + len(data)) + b"WAVE" +
+               b"fmt " + struct.pack("<IHHIIHHHH", 20, 0x11, 1, rate,
+                                     byte_rate, block_align, 4, 2, spb) +
+               b"fact" + struct.pack("<II", 4, n) +
+               b"data" + struct.pack("<I", len(data)))
+        out.append(hdr + data)
+    return out
+
 
 
 class AudioFeatures(_PayloadFeatureStage):
