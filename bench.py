@@ -68,7 +68,7 @@ BATTERY = [
     "doc_fingerprint",
     "redact_numbers",
     "winnow_fingerprints",
-    "lm_perplexity",
+    "lm_perplexity", "compression_ratio",
     "sample_by_content_hash",
     "pack_documents",
     "entity_graph_write",
