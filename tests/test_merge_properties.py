@@ -42,10 +42,13 @@ def _winners(events):
     return {k: v for k, v in best.items()}
 
 
+# key alphabets deliberately include the \x1f join separator and prefix
+# overlaps ("r1" vs "r1\x1fa"): the injective length-prefixed key encoding
+# must keep such pairs distinct under every property below
 events_strategy = st.lists(
     st.tuples(
-        st.sampled_from(["r1", "r2"]),
-        st.sampled_from(["a", "b", "c"]),
+        st.sampled_from(["r1", "r2", "r1\x1fa", "r\x1f", ""]),
+        st.sampled_from(["a", "b", "c", "a\x1fb", "\x1fa", ""]),
         st.integers(min_value=1, max_value=50),
         st.one_of(st.none(), st.text(alphabet="xyz", max_size=5)),
     ),
