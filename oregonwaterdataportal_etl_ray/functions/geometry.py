@@ -37,7 +37,10 @@ def circle_polygons(lat: np.ndarray, lon: np.ndarray, radius_feet: np.ndarray,
     lon1 = np.radians(np.asarray(lon, dtype=np.float64))[:, None]
     d = (np.asarray(radius_feet, dtype=np.float64) * FEET_TO_M /
          EARTH_RADIUS_M)[:, None]
-    theta = np.radians(np.arange(0, 360, 360 / num_points,
+    # linspace endpoint=False, NOT arange with a float step: step error
+    # makes arange emit an extra ~360-degree bearing for some num_points
+    # (161, 175, ...), duplicating vertex 0 in the ring
+    theta = np.radians(np.linspace(0, 360, num_points, endpoint=False,
                                  dtype=np.float64))[None, :]
     sin_lat2 = np.sin(lat1) * np.cos(d) + np.cos(lat1) * np.sin(d) * np.cos(theta)
     lat2 = np.arcsin(np.clip(sin_lat2, -1.0, 1.0))

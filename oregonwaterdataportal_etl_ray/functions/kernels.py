@@ -15,11 +15,12 @@ import numpy as np
 import pyarrow as pa
 
 
-def _digest_hex(col: pa.Array | pa.ChunkedArray, algo) -> pa.Array:
-    """Per-row cryptographic digest. No Arrow digest kernel exists, so a
-    Python loop is unavoidable — but it hashes zero-copy memoryview slices
-    of the column's utf-8 data buffer directly (no per-row str
-    materialization / re-encode)."""
+def payload_views(col: pa.Array | pa.ChunkedArray):
+    """(offsets, data memoryview, valid mask | None) for a string/binary
+    column — THE zero-copy per-payload slicing recipe (no per-row str
+    materialization / re-encode). One definition shared by every per-payload
+    Python loop (digests, compressors) so null handling can't drift between
+    copies. Returns (None, None, None) for an empty column."""
     import pyarrow.compute as pc
 
     if isinstance(col, pa.ChunkedArray):
@@ -27,11 +28,30 @@ def _digest_hex(col: pa.Array | pa.ChunkedArray, algo) -> pa.Array:
     arr = pc.cast(col, pa.large_binary())
     n = len(arr)
     if n == 0:
-        return pa.array([], pa.string())
+        return None, None, None
     off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset:arr.offset + n + 1]
     data = memoryview(arr.buffers()[2])
-    if arr.null_count:
-        valid = ~np.asarray(arr.is_null())
+    valid = (~np.asarray(arr.is_null())) if arr.null_count else None
+    return off, data, valid
+
+
+def round_half_away(x, ndigits: int = 6):
+    """DuckDB-compatible ROUND: half AWAY from zero, sign-aware (Python
+    round() and np.round are half-to-even and diverge on exact halves).
+    ONE definition — call sites must not re-derive the positive-only
+    variant and silently misround negatives."""
+    s = 10.0 ** ndigits
+    return np.sign(x) * (np.floor(np.abs(x) * s + 0.5) / s)
+
+
+def _digest_hex(col: pa.Array | pa.ChunkedArray, algo) -> pa.Array:
+    """Per-row cryptographic digest over zero-copy payload slices (no Arrow
+    digest kernel exists, so the per-row loop is unavoidable)."""
+    off, data, valid = payload_views(col)
+    if off is None:
+        return pa.array([], pa.string())
+    n = len(off) - 1
+    if valid is not None:
         out = [algo(data[off[i]:off[i + 1]]).hexdigest() if valid[i] else None
                for i in range(n)]
     else:

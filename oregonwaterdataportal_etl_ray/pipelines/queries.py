@@ -53,11 +53,9 @@ def _conc() -> tuple[int, int]:
 
 
 def _round_half_away(x, ndigits: int):
-    """DuckDB-compatible ROUND (half AWAY from zero, sign-aware); Python
-    round() and np.round are half-to-even and diverge on exact halves."""
-    s = 10.0 ** ndigits
-    ax = np.floor(np.abs(x) * s + 0.5) / s
-    return np.sign(x) * ax
+    """DuckDB-compatible ROUND — the shared kernel (sign-aware half-away)."""
+    from ..functions.kernels import round_half_away
+    return round_half_away(x, ndigits)
 
 
 def _round_cols(ndigits: int, cols: list[str]):
@@ -394,8 +392,8 @@ def rollup_doc_stats(sf_dir: str):
 
 @_q("top_tokens", """
 SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
-  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
-  FROM documents WHERE trim(text) <> ''
+  SELECT unnest(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')) AS token
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) <> ''
 ) GROUP BY token ORDER BY n DESC, token LIMIT 50
 """)
 def top_tokens(sf_dir: str):
@@ -1002,8 +1000,8 @@ def range_join(sf_dir: str):
 
 
 @_q("token_explode", """
-SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
-FROM documents WHERE doc_id < 50 AND trim(text) <> ''
+SELECT doc_id, unnest(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')) AS token
+FROM documents WHERE doc_id < 50 AND trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) <> ''
 """)
 def token_explode(sf_dir: str):
     """flat_map / explode (S5: the reference's nested-list flatten,
@@ -1045,8 +1043,8 @@ def exact_dedup(sf_dir: str):
 
 @_q("token_counts", """
 SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+       CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')) END AS n_tokens
 FROM documents
 """)
 def token_counts(sf_dir: str):
@@ -1086,10 +1084,10 @@ def doc_fingerprint(sf_dir: str):
 @_q("repetition_stats", """
 WITH s AS (
   SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')) END AS n_tokens,
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+              ELSE len(list_distinct(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')))
          END AS n_uniq
   FROM documents)
 SELECT doc_id, n_tokens,
@@ -1894,8 +1892,8 @@ def dup_cluster_assign(sf_dir: str):
 @_q("vocab_topk", """
 WITH toks AS (
   SELECT doc_id,
-         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
-  FROM documents WHERE trim(text) <> ''
+         unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')) AS term
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) <> ''
 )
 SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
 FROM toks GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
@@ -2206,8 +2204,8 @@ def _bench_gram_ref(sf_dir: str):
 
 @_q("benchmark_decontaminate", r"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-  FROM documents WHERE trim(text) <> ''
+  SELECT doc_id, regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+') AS t
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) <> ''
 ),
 grams AS (
   SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ')
@@ -2262,8 +2260,8 @@ def benchmark_decontaminate(sf_dir: str):
 
 @_q("tfidf_top_terms", r"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-  FROM documents WHERE trim(text) <> ''),
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+')) AS term
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) <> ''),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
 df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
 n AS (SELECT count(*) AS n FROM documents),
@@ -2444,8 +2442,8 @@ def top_docs_per_lang(sf_dir: str):
 
 @_q("hot_ngram_flags", r"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-  FROM documents WHERE trim(text) <> ''),
+  SELECT doc_id, regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+') AS t
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) <> ''),
 grams AS (
   SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ')
                          for i in range(1, len(t) - 1)]) AS g
@@ -2521,8 +2519,8 @@ def hot_ngram_flags(sf_dir: str):
 
 @_q("curation_pipeline", rf"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-  FROM documents WHERE trim(text) <> ''),
+  SELECT doc_id, regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+') AS t
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) <> ''),
 grams AS (
   SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ')
                          for i in range(1, len(t) - 1)]) AS g
@@ -2539,8 +2537,8 @@ scored AS (
          length(text) AS nc,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
          len(regexp_extract_all(text, '{_STOP_RE}')) AS ns,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+')) END AS n_tokens
   FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
 q AS (
   SELECT lang, n_tokens, nc,

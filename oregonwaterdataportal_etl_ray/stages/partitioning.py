@@ -36,7 +36,12 @@ def derived_num_buckets(cpus: int | None = None, per_cpu: int = 2,
     even out, no task materializes more than ~1/buckets of the data, and
     parallelism is never capped below the cluster width."""
     cpus = cluster_cpus() if cpus is None else cpus
-    return _next_pow2(min(cap, max(floor, per_cpu * cpus)))
+    n = _next_pow2(max(floor, per_cpu * cpus))
+    # honor the cap AFTER the pow2 round-up (and keep the result a power of
+    # two — callers bucket with `& (n-1)`): halve until within the cap
+    while n > cap and n > 1:
+        n >>= 1
+    return n
 
 
 def derived_join_partitions(cpus: int | None = None,

@@ -96,6 +96,22 @@ class TDigest:
         return float(np.interp(target, centers, self.means))
 
 
+def _group_codes(col) -> tuple[np.ndarray, "pa.Array"]:
+    """(sortable int codes per row, original values) for a group-key column.
+    np.argsort on an object array containing None raises TypeError; encode
+    through Arrow instead so NULL is an ordinary group (SQL GROUP BY
+    semantics), preserving original values (incl. null) for output."""
+    import pyarrow.compute as pc
+    c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    enc = pc.dictionary_encode(c)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    idx = enc.indices
+    if idx.null_count:
+        idx = pc.fill_null(idx, len(enc.dictionary))
+    return idx.to_numpy(zero_copy_only=False).astype(np.int64), c
+
+
 def digest_rows(t: pa.Table, group_col: str, value_col: str,
                 compression: float = 200.0) -> pa.Table:
     """map_batches combiner: one serialized digest row per group per batch."""
@@ -105,20 +121,19 @@ def digest_rows(t: pa.Table, group_col: str, value_col: str,
         return pa.table({group_col: pa.array([], t[group_col].type),
                          "d_means": pa.array([], pa.list_(pa.float64())),
                          "d_weights": pa.array([], pa.list_(pa.float64()))})
-    keys = t[group_col].to_numpy(zero_copy_only=False)
+    codes, kvals = _group_codes(t[group_col])
     vals = t[value_col].to_numpy(zero_copy_only=False)
-    order = np.argsort(keys, kind="stable")
-    ks, vs = keys[order], vals[order]
+    order = np.argsort(codes, kind="stable")
+    ks, vs = codes[order], vals[order]
     starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
     ends = np.r_[starts[1:], len(ks)]
-    rows_g, rows_m, rows_w = [], [], []
+    rows_m, rows_w = [], []
     for s, e in zip(starts, ends):
         d = TDigest(compression).add(vs[s:e])
-        rows_g.append(ks[s])
         rows_m.append(d.means.tolist())
         rows_w.append(d.weights.tolist())
     return pa.table({
-        group_col: pa.array(rows_g),
+        group_col: kvals.take(pa.array(order[starts])),
         "d_means": pa.array(rows_m, pa.list_(pa.float64())),
         "d_weights": pa.array(rows_w, pa.list_(pa.float64())),
     })
@@ -189,19 +204,18 @@ def hll_rows(t: pa.Table, group_col: str, key_col: str,
         # partition) must not infer a null group column or index into ks[0]
         return pa.table({group_col: t[group_col].combine_chunks(),
                          "hll_regs": pa.array([], pa.binary())})
-    keys = t[group_col].to_numpy(zero_copy_only=False)
+    codes, kvals = _group_codes(t[group_col])
     hashed = pd.util.hash_array(t[key_col].to_numpy(zero_copy_only=False))
-    order = np.argsort(keys, kind="stable")
-    ks, hs = keys[order], hashed[order]
+    order = np.argsort(codes, kind="stable")
+    ks, hs = codes[order], hashed[order]
     starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
     ends = np.r_[starts[1:], len(ks)]
-    rows_g, rows_r = [], []
+    rows_r = []
     for s, e in zip(starts, ends):
         regs = np.zeros(1 << p, np.uint8)
         hll_add(regs, hs[s:e], p)
-        rows_g.append(ks[s])
         rows_r.append(regs.tobytes())
-    return pa.table({group_col: pa.array(rows_g),
+    return pa.table({group_col: kvals.take(pa.array(order[starts])),
                      "hll_regs": pa.array(rows_r, pa.binary())})
 
 
@@ -249,7 +263,8 @@ def mg_token_partial(t: pa.Table, text_col: str, k: int) -> pa.Table:
     # combine_chunks (not pa.chunked_array([...])) keeps the string type on a
     # zero-row batch — wrapping a 0-chunk ChunkedArray degrades to null type
     # and split_pattern_regex has no null kernel
-    trimmed = pc.utf8_trim_whitespace(t[text_col].combine_chunks())
+    from .text import TRIM_CHARS
+    trimmed = pc.utf8_trim(t[text_col].combine_chunks(), TRIM_CHARS)
     toks = pc.split_pattern_regex(
         trimmed.filter(pc.not_equal(trimmed, "")), r"\s+")
     vc = pc.list_flatten(toks).value_counts()

@@ -21,9 +21,16 @@ from ..functions.kernels import md5_hex
 # token counting / char classes — SQL-parity kernels (see oracle_sql)
 # ---------------------------------------------------------------------------
 
+# the explicit ASCII whitespace set both sides of the oracle gate trim:
+# Arrow's utf8_trim_whitespace strips UNICODE whitespace (NBSP, U+0085...)
+# that DuckDB's trim() never touches — parity needs one explicit set,
+# mirrored in the SQL as trim(text, ' '||chr(9)||...)
+TRIM_CHARS = " \t\n\r\x0c\x0b"
+
+
 def token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace token count; empty/whitespace-only text counts 0."""
-    trimmed = pc.utf8_trim_whitespace(batch[text_col])
+    trimmed = pc.utf8_trim(batch[text_col], TRIM_CHARS)
     n = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
     n = pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int32()), n)
     return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
@@ -106,7 +113,10 @@ class LangId:
         self.langs = list(_LANG_MARKERS)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        t = pc.utf8_lower(batch[self.text_col])
+        # null text scores 0 everywhere -> "unknown" (count_substring of a
+        # null row is null; the float NaN it becomes would crash the int
+        # accumulate below)
+        t = pc.utf8_lower(pc.fill_null(batch[self.text_col], ""))
         scores = np.zeros((batch.num_rows, len(self.langs)), dtype=np.int64)
         for j, lang in enumerate(self.langs):
             for marker in _LANG_MARKERS[lang]:
@@ -151,7 +161,7 @@ class RollingFingerprints:
         return np.unique(mins).tolist()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .dedup import _batch_rolling_hashes, _within
+        from .dedup import _batch_rolling_hashes
 
         col = batch[self.text_col]
         # pad_short=False: winnowing emits NOTHING for docs shorter than k
@@ -211,7 +221,7 @@ def token_ngrams(col: "pa.ChunkedArray | pa.Array", n: int = 3
     filters described publicly in the GPT-3 and PaLM papers): the benchmark
     side is eval-suite-sized, so its gram set broadcasts; the training side
     streams through this kernel batch by batch and never shuffles."""
-    trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(col))
+    trimmed = pc.utf8_trim(pc.utf8_lower(col), TRIM_CHARS)
     mask = pc.not_equal(trimmed, "")
     toks = pc.split_pattern_regex(trimmed.filter(mask) if hasattr(trimmed, "filter")
                                   else pc.filter(trimmed, mask), r"\s+")
@@ -314,29 +324,32 @@ class CompressionRatio:
     def __call__(self, t: pa.Table) -> pa.Table:
         import zlib
 
-        col = t[self.text_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        arr = pc.cast(col, pa.large_binary())
-        n = len(arr)
-        if n == 0:
+        from ..functions.kernels import payload_views, round_half_away
+        off, data, valid = payload_views(t[self.text_col])
+        if off is None:
             return pa.table({
                 self.id_col: pa.array([], t[self.id_col].type),
                 "n_bytes": pa.array([], pa.int64()),
                 "n_compressed": pa.array([], pa.int64()),
                 "compression_ratio": pa.array([], pa.float64())})
-        off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
-            arr.offset:arr.offset + n + 1]
-        data = memoryview(arr.buffers()[2])
+        n = len(off) - 1
         lvl = self.level
-        comp = np.fromiter(
-            (len(zlib.compress(data[off[i]:off[i + 1]], lvl)) for i in range(n)),
-            dtype=np.int64, count=n)
+        # null text stays NULL in every feature column — an empty-payload
+        # stand-in would score ratio 8.0 (zlib header overhead) and
+        # misclassify null docs as incompressible junk
+        if valid is not None:
+            comp = np.array([len(zlib.compress(data[off[i]:off[i + 1]], lvl))
+                             if valid[i] else -1 for i in range(n)], np.int64)
+        else:
+            comp = np.fromiter(
+                (len(zlib.compress(data[off[i]:off[i + 1]], lvl))
+                 for i in range(n)), dtype=np.int64, count=n)
         raw = (off[1:] - off[:-1]).astype(np.int64)
-        ratio = comp / np.maximum(raw, 1)
-        ratio = np.floor(ratio * 1e6 + 0.5) / 1e6   # half-away, ratios >= 0
+        with np.errstate(invalid="ignore"):
+            ratio = round_half_away(comp / np.maximum(raw, 1), 6)
+        mask = None if valid is None else ~valid
         return pa.table({
             self.id_col: t[self.id_col],
-            "n_bytes": pa.array(raw, pa.int64()),
-            "n_compressed": pa.array(comp, pa.int64()),
-            "compression_ratio": pa.array(ratio, pa.float64())})
+            "n_bytes": pa.array(np.ma.masked_array(raw, mask) if mask is not None else raw, pa.int64()),
+            "n_compressed": pa.array(np.ma.masked_array(comp, mask) if mask is not None else comp, pa.int64()),
+            "compression_ratio": pa.array(np.ma.masked_array(ratio, mask) if mask is not None else ratio, pa.float64())})

@@ -40,9 +40,12 @@ def user_bucketer(key: str = "user_id", num_buckets: int | None = None):
 
 
 def _sorted_keys(t: pa.Table, key: str, ts: str, tiebreak: str):
-    """Lexsort one bucket's rows by (key, ts, tiebreak)."""
+    """Lexsort one bucket's rows by (key, ts, tiebreak). NULL timestamps
+    order LAST (DuckDB's ORDER BY default for ASC) — NaT would otherwise
+    cast to int64 min and make a user's null-ts rows their EARLIEST."""
     k = t.column(key).to_numpy(zero_copy_only=False)
     s = t.column(ts).to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+    s = np.where(s == np.iinfo(np.int64).min, np.iinfo(np.int64).max, s)
     tb = t.column(tiebreak).to_numpy(zero_copy_only=False)
     order = np.lexsort((tb, s, k))
     return order, k[order], s[order]

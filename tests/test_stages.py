@@ -588,3 +588,39 @@ def test_compression_ratio_laws(ray_session):
                            batch_size=2, concurrency=2)
               .to_pandas().set_index("doc_id").sort_index())
     assert (dist["n_compressed"] == out["n_compressed"].sort_index()).all()
+
+
+def test_null_and_whitespace_edge_tolerance():
+    """Latent-input hardening laws: null group keys form an ordinary group
+    in the sketch combiners (SQL GROUP BY semantics, no argsort TypeError),
+    LangId scores null text as 'unknown' instead of crashing, null text
+    stays NULL through CompressionRatio, and kernel/SQL trim parity holds
+    for tab/newline-padded text."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from oregonwaterdataportal_etl_ray.stages.sketch import digest_rows
+    from oregonwaterdataportal_etl_ray.stages.text import (
+        CompressionRatio, LangId, token_count)
+
+    d = digest_rows(pa.table({"g": pa.array(["a", None, "a"], pa.string()),
+                              "v": pa.array([1.0, 2.0, 3.0])}), "g", "v")
+    assert set(map(str, d["g"].to_pylist())) == {"a", "None"} and len(d) == 2
+
+    li = LangId()(pa.table({"text": pa.array(["the cat and the hat", None],
+                                             pa.string())})).to_pandas()
+    assert li["lang_pred"].tolist()[1] == "unknown"
+
+    cr = CompressionRatio()(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array([None], pa.string())})).to_pandas()
+    assert cr["compression_ratio"].isna().all()
+
+    # trim parity vs DuckDB on edge whitespace the fixtures never contain
+    txt = "\tfoo bar\n"
+    ours = token_count(pa.table({"text": pa.array([txt], pa.string())}))
+    sql = duckdb.sql(
+        "SELECT len(regexp_split_to_array(trim(?, ' '||chr(9)||chr(10)||"
+        "chr(13)||chr(12)||chr(11)), '\\s+')) AS n", params=[txt]).fetchone()[0]
+    assert ours["n_tokens"][0].as_py() == sql == 2
