@@ -172,3 +172,53 @@ def test_archive_before_commit_crash_window_is_safe(corpus, tmp_path,
     asof = eng.dataset_as_of(2, with_sha=False).to_pandas()
     oracle = oracle_replay(corpus["files"][:3])
     assert len(asof) == len(oracle)
+
+
+def test_cli_reshard_and_changelog_modes(corpus, tmp_path, ray_session):
+    """CLI-surface drive of the remaining subcommands: the three changelog
+    modes (stream / --as-of / --view-deltas) export what the library
+    returns, and reshard via the CLI adopts the persisted bucket count and
+    produces a dir whose persisted layout matches the request."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from oregonwaterdataportal_etl_ray import cli
+
+    state = str(tmp_path / "s_cli2")
+    eng = CdcEngine(state, num_buckets=8, compact_every=2,
+                    retain_changelog=True)
+    eng.replay(corpus["files"][:4], epoch_size=1)
+
+    def run(args):
+        assert cli.main(args) == 0
+
+    out_s = str(tmp_path / "cl_stream")
+    run(["changelog", "--state-dir", state, "--out", out_s])
+    import glob as _glob
+    n_stream = sum(_pq.read_table(f).num_rows
+                   for f in _glob.glob(out_s + "/*.parquet"))
+    assert n_stream == len(eng.changelog_dataset().to_pandas())
+
+    out_a = str(tmp_path / "cl_asof")
+    run(["changelog", "--state-dir", state, "--out", out_a, "--as-of", "1"])
+    n_asof = sum(_pq.read_table(f).num_rows
+                 for f in _glob.glob(out_a + "/*.parquet"))
+    assert n_asof == len(oracle_replay(corpus["files"][:2]))
+
+    out_v = str(tmp_path / "cl_vd")
+    run(["changelog", "--state-dir", state, "--out", out_v, "--view-deltas"])
+    n_vd = sum(_pq.read_table(f).num_rows
+               for f in _glob.glob(out_v + "/*.parquet"))
+    assert n_vd == len(eng.view_deltas().to_pandas())
+
+    new_state = str(tmp_path / "s_cli2_r")
+    run(["reshard", "--state-dir", state, "--new-state-dir", new_state,
+         "--new-num-buckets", "16"])
+    assert CdcEngine.persisted_num_buckets(new_state) == 16
+    with open(new_state + "/layout.json") as f:
+        assert _json.load(f)["key_encoding"] == 2
+    new_eng = CdcEngine(new_state, num_buckets=16)
+    a = new_eng.final_table(with_sha=False).to_pandas()
+    b = eng.final_table(with_sha=False).to_pandas()
+    assert list(a["lsn"]) == list(b["lsn"])
