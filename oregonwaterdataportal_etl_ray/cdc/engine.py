@@ -528,19 +528,29 @@ class CdcEngine:
         # and refuse a mismatched resume loudly.
         persisted = self.persisted_num_buckets(state_dir)
         if persisted is None:
-            # one-time migration sanity check for dirs that predate layout
-            # persistence: an existing bucket id >= num_buckets proves the
-            # passed value wrong — refuse rather than persist the mistake
+            # A dir with persisted bucket state but NO layout.json predates
+            # layout persistence — i.e. it was written with the v1
+            # (non-injective) key encoding, because layout.json and the v2
+            # key shipped together. Stamping it v2 here and replaying would
+            # re-hash keys into different buckets (duplicate PKs across
+            # buckets, tombstones that stop blocking their key's stale
+            # upserts) — exactly the corruption persisted_num_buckets
+            # refuses for an explicit v1 stamp. Refuse; only a genuinely
+            # fresh dir (no bucket manifests) gets the v2 stamp.
             mdir = os.path.join(state_dir, "manifest")
             if os.path.isdir(mdir):
                 ids = [int(n[len("bucket-"):-len(".json")])
                        for n in os.listdir(mdir)
                        if n.startswith("bucket-") and n.endswith(".json")]
-                if ids and max(ids) >= num_buckets:
+                if ids:
                     raise ValueError(
-                        f"state dir {state_dir!r} has bucket {max(ids)} but "
-                        f"num_buckets={num_buckets}; pass the value the dir "
-                        "was built with")
+                        f"state dir {state_dir!r} has persisted bucket state "
+                        "but no layout.json — it predates layout persistence "
+                        "and was built with the v1 (non-injective) key "
+                        "encoding; this engine uses v2 (length-prefixed "
+                        "keys), which places keys in different buckets. "
+                        "Rebuild the state dir by replaying from the event "
+                        "log")
             atomic_write_bytes(self._layout_path(state_dir),
                                json.dumps({"num_buckets": num_buckets,
                                            "key_encoding": 2}).encode())

@@ -26,7 +26,8 @@ from ..stages.dedup import (BandExploder, MinHasher, NgramPairVerifier, SimHashe
 from ..stages.joins import BroadcastLookup, MembershipFilter
 from ..stages.kernels import keep_last_by
 from ..stages.partitioning import derived_join_partitions, derived_num_buckets
-from ..stages.text import LangId, QualityScore, char_classes, normalized_fingerprint, token_count
+from ..stages.text import (TRIM_CHARS, LangId, QualityScore, char_classes,
+                           normalized_fingerprint, token_count)
 
 QUERIES: dict = {}
 ORACLE_SQL: dict = {}
@@ -407,7 +408,7 @@ def top_tokens(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         # combine_chunks keeps string type on zero-row batches (a 0-chunk
         # ChunkedArray re-wrapped via pa.chunked_array degrades to null type)
-        trimmed = pc.utf8_trim_whitespace(t["text"].combine_chunks())
+        trimmed = pc.utf8_trim(t["text"].combine_chunks(), TRIM_CHARS)
         kept = trimmed.filter(pc.not_equal(trimmed, ""))
         vc = pc.list_flatten(
             pc.split_pattern_regex(kept, r"\s+")).value_counts()
@@ -1011,9 +1012,9 @@ def token_explode(sf_dir: str):
 
     def fn(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t["doc_id"], 50))
-        trimmed = pc.utf8_trim_whitespace(t["text"])
+        trimmed = pc.utf8_trim(t["text"], TRIM_CHARS)
         t = t.filter(pc.not_equal(trimmed, ""))
-        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]), r"\s+")
+        toks = pc.split_pattern_regex(pc.utf8_trim(t["text"], TRIM_CHARS), r"\s+")
         parents = pc.list_parent_indices(toks)
         return pa.table({
             "doc_id": pc.take(t["doc_id"], parents),
@@ -1105,7 +1106,7 @@ def repetition_stats(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(t["text"])
+        trimmed = pc.utf8_trim(t["text"], TRIM_CHARS)
         toks = pc.split_pattern_regex(trimmed, r"\s+")
         n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
         empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
@@ -1499,9 +1500,12 @@ def simhash_near_dup(sf_dir: str):
     """SimHash near-dup: 64-bit fingerprints, hamming <= 8 within 16-bit
     bands — explode to (band_id, band_key, id, simhash) rows (the fingerprint
     travels with the row, so no signature re-join is needed), hash-partition
-    the buckets, vectorized pair-gen + hamming per partition, then a
-    pair-dedup groupby keeping the min hamming."""
-    from ray.data.aggregate import Min
+    the buckets, vectorized pair-gen + hamming per partition. A pair that
+    collides in several bands repeats with IDENTICAL hamming (hamming is a
+    function of the two full 64-bit fingerprints, not the band), so the
+    cross-band dedup runs on the already-output-sized pair set on the driver
+    (the _minhash_near_dup_pairs discipline) instead of paying a second
+    all-to-all hash-aggregate exchange for a groupby(id_a, id_b)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     hashed = ds.map_batches(SimHasher(k=5), batch_format="pyarrow") \
                .select_columns(["doc_id", "simhash"])
@@ -1525,7 +1529,11 @@ def simhash_near_dup(sf_dir: str):
                    .groupby("__part")
                    .map_groups(lambda g: simhash_pairs_in_partition(g),
                                batch_format="pyarrow"))
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    pd_pairs = pairs.to_pandas().drop_duplicates(["id_a", "id_b"]) \
+                    .sort_values(["id_a", "id_b"], ignore_index=True)
+    return pa.table({"id_a": pa.array(pd_pairs["id_a"], pa.int64()),
+                     "id_b": pa.array(pd_pairs["id_b"], pa.int64()),
+                     "hamming": pa.array(pd_pairs["hamming"], pa.int64())})
 
 
 # ===========================================================================
@@ -1910,7 +1918,7 @@ def vocab_topk(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(t["text"]))
+        trimmed = pc.utf8_trim(pc.utf8_lower(t["text"]), TRIM_CHARS)
         t2 = pa.table({"doc_id": t["doc_id"], "text": trimmed}) \
                .filter(pc.not_equal(trimmed, ""))
         toks = pc.split_pattern_regex(t2["text"], r"\s+")
@@ -2025,8 +2033,9 @@ def mixture_reweight(sf_dir: str):
     agg = ds.groupby("source").aggregate(Sum("n_chars", alias_name="total_chars")) \
             .to_pandas().sort_values("source").reset_index(drop=True)
     t, k = float(agg["total_chars"].sum()), len(agg)
-    agg["current_share"] = (agg["total_chars"] / t).round(6)
-    agg["weight"] = ((t / k) / agg["total_chars"]).round(6)
+    # half-away rounding to match DuckDB ROUND (pandas .round is half-even)
+    agg["current_share"] = _round_half_away((agg["total_chars"] / t).to_numpy(), 6)
+    agg["weight"] = _round_half_away(((t / k) / agg["total_chars"]).to_numpy(), 6)
     return pa.table({"source": pa.array(agg["source"], pa.string()),
                      "total_chars": pa.array(agg["total_chars"], pa.int64()),
                      "current_share": pa.array(agg["current_share"], pa.float64()),
@@ -2276,79 +2285,77 @@ WHERE rn = 1
 """)
 def tfidf_top_terms(sf_dir: str):
     """Per-document most-distinctive term by tf-idf (idf = ln(N/df)) — the
-    corpus-statistics-broadcast scoring shape: document frequencies aggregate
-    once (map-side partials -> vocab-sized groupby-sum), the {term: df} dict
-    is built INSIDE a Ray task and broadcast via ray.put (driver never holds
-    the vocab), and the scoring pass streams each batch through one
-    vectorized tf + map + argmax. Ties broken by term so Ray and the SQL
-    window function rank identically on the ROUNDED score. Scale caveat
-    (documented like embedding_near_dup's): vocab-fits-a-node; the escape
-    hatch is hot_ngram_flags' co-partitioned frequency join."""
-    from ray.data.aggregate import Sum
+    co-partitioned large-large frequency join (hot_ngram_flags' shape), NOT a
+    broadcast vocab: the corpus tokenizes ONCE into exact per-doc
+    (doc_id, term, tf) partials (a document is one row, so one batch holds
+    all its tokens), those hash-partition by hash(term) so a term's document
+    frequency is partition-local (df = rows per term — the partials are
+    already distinct per (doc, term)), each partition scores its rows and
+    emits only its per-doc top-1 candidate, and a distributed keep-first
+    reduce (argmax tfidf, ties by term ascending, via the negated-score
+    trick) picks the winner across partitions. No vocab dict anywhere —
+    removes the vocab-fits-a-node caveat the broadcast design carried — and
+    the text is read and split exactly once. The final shuffle moves at most
+    (n_docs x n_term_buckets) narrow rows."""
+    nb = derived_num_buckets()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = ds.count()
 
-    def _doc_term(t: pa.Table) -> pd.DataFrame:
-        trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(t["text"]))
+    def tf_partial(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim(pc.utf8_lower(t["text"]), TRIM_CHARS)
         t2 = pa.table({"doc_id": t["doc_id"], "text": trimmed}) \
                .filter(pc.not_equal(trimmed, ""))
         toks = pc.split_pattern_regex(t2["text"], r"\s+")
         parents = pc.list_parent_indices(toks)
-        return pd.DataFrame({
+        d = pd.DataFrame({
             "doc_id": pc.take(t2["doc_id"], parents).to_numpy(zero_copy_only=False),
             "term": pc.list_flatten(toks).to_pandas()})
+        tf = d.groupby(["doc_id", "term"], sort=False).size() \
+              .rename("tf").reset_index()
+        # real term strings travel (the scored winner must report its term);
+        # the bucket key is a hash so a term's rows co-locate
+        b = (pd.util.hash_array(tf["term"].to_numpy(object)) % nb).astype(np.int32)
+        # explicit types: an all-blank batch must still emit this schema or
+        # the empty block degrades the unified schema downstream
+        return pa.table({"doc_id": pa.array(tf["doc_id"].to_numpy(np.int64)),
+                         "term": pa.array(tf["term"].to_numpy(object), pa.string()),
+                         "tf": pa.array(tf["tf"].to_numpy(np.int64)),
+                         "bucket": pa.array(b)})
 
-    def df_partial(t: pa.Table) -> pa.Table:
-        d = _doc_term(t).drop_duplicates(["doc_id", "term"]) \
-                        .groupby("term").size()
-        # explicit types: an all-blank batch must still emit (string, int64)
-        # or the empty block degrades the unified schema downstream
-        return pa.table({"term": pa.array(d.index.to_numpy(object), pa.string()),
-                         "df": pa.array(d.to_numpy(np.int64), pa.int64())})
+    def score_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64()),
+                          "tfidf": pa.array([], pa.float64()),
+                          "neg_tfidf": pa.array([], pa.float64())})
+        if t.num_rows == 0 or "term" not in t.column_names:
+            return empty  # empty partition blocks may carry a bare schema
+        df = pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "term": t["term"].to_pandas(),
+            "tf": t["tf"].to_numpy(zero_copy_only=False)})
+        # df(term) is partition-local: rows are distinct (doc, term) pairs
+        codes, _ = pd.factorize(df["term"].to_numpy(object))
+        dfreq = np.bincount(codes).astype(np.float64)
+        raw = df["tf"].to_numpy(np.float64) * np.log(n_docs / dfreq[codes])
+        df["tfidf"] = np.floor(raw * 1e6 + 0.5) / 1e6
+        top = (df.sort_values(["doc_id", "tfidf", "term"],
+                              ascending=[True, False, True])
+                 .drop_duplicates("doc_id"))
+        return pa.table({"doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
+                         "term": pa.array(top["term"].to_numpy(object), pa.string()),
+                         "tf": pa.array(top["tf"].to_numpy(np.int64)),
+                         "tfidf": pa.array(top["tfidf"].to_numpy(np.float64)),
+                         "neg_tfidf": pa.array(-top["tfidf"].to_numpy(np.float64))})
 
-    df_ds = (ds.map_batches(df_partial, batch_format="pyarrow")
-               .groupby("term").aggregate(Sum("df", alias_name="df")))
-
-    @ray.remote
-    def build_df_dict(refs) -> dict:
-        tabs = [ray.get(r) for r in refs]
-        out: dict = {}
-        for t in tabs:
-            if t.num_rows == 0 or "term" not in t.column_names:
-                continue  # empty partition blocks may carry a bare schema
-            out.update(zip(t["term"].to_pylist(), t["df"].to_numpy(
-                zero_copy_only=False)))
-        return out
-
-    # keep the vocab dict off the driver: the task ref doubles as the
-    # broadcast handle (ray.get+ray.put would copy the whole dict twice)
-    dref = build_df_dict.remote(df_ds.to_arrow_refs())
-
-    class Score:
-        def __init__(self):
-            self.df = ray.get(dref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            d = _doc_term(t)
-            if d.empty:
-                return pa.table({"doc_id": pa.array([], pa.int64()),
-                                 "term": pa.array([], pa.string()),
-                                 "tf": pa.array([], pa.int64()),
-                                 "tfidf": pa.array([], pa.float64())})
-            tf = d.groupby(["doc_id", "term"], sort=False).size() \
-                  .rename("tf").reset_index()
-            dfv = tf["term"].map(self.df).to_numpy(np.float64)
-            raw = tf["tf"].to_numpy(np.float64) * np.log(n_docs / dfv)
-            tf["tfidf"] = np.floor(raw * 1e6 + 0.5) / 1e6
-            top = (tf.sort_values(["doc_id", "tfidf", "term"],
-                                  ascending=[True, False, True])
-                     .drop_duplicates("doc_id"))
-            return pa.table({"doc_id": top["doc_id"].to_numpy(np.int64),
-                             "term": pa.array(top["term"], pa.string()),
-                             "tf": top["tf"].to_numpy(np.int64),
-                             "tfidf": top["tfidf"].to_numpy(np.float64)})
-
-    return ds.map_batches(Score, concurrency=_conc(), batch_format="pyarrow")
+    candidates = (ds.map_batches(tf_partial, batch_format="pyarrow")
+                    .groupby("bucket")
+                    .map_groups(score_bucket, batch_format="pyarrow"))
+    # cross-bucket argmax: keep-FIRST on (-tfidf, term) == max tfidf with
+    # ties broken by term ascending, matching the SQL window order
+    top = dataset_keep_last(candidates, ["doc_id"], ["neg_tfidf", "term"],
+                            keep="first")
+    return top.select_columns(["doc_id", "term", "tf", "tfidf"])
 
 
 # RE2-compatible GPT-2-style pretokenizer (contractions, letter runs, digit
@@ -2440,6 +2447,29 @@ def top_docs_per_lang(sf_dir: str):
               .map_groups(final_rank, batch_format="pyarrow"))
 
 
+def _hot_ngram_explode(t: pa.Table, nb: int) -> pa.Table:
+    """hot_ngram_flags' shuffle-side explode, with the skew guard: token
+    3-grams fingerprint to 64 bits and pre-aggregate to (doc_id, gram) ->
+    count INSIDE the batch, so a gram repeated 10^6 times in one doc ships
+    ONE weighted row (the law pinned in tests/test_stages.py). Fingerprints,
+    not strings: the shuffle payload drops ~3x and the per-bucket factorize
+    runs on ints; collision odds are birthday(n_distinct_grams, 2^64) —
+    vanishing at test scale, noise-level for boilerplate stats at corpus
+    scale."""
+    from ..stages.text import token_ngrams
+    doc_idx, grams = token_ngrams(t["text"], n=3)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)[doc_idx]
+    gh = pd.util.hash_array(grams)
+    agg = pd.DataFrame({"doc_id": ids, "gh": gh}) \
+            .groupby(["doc_id", "gh"], sort=False).size() \
+            .rename("cnt").reset_index()
+    ghv = agg["gh"].to_numpy(np.uint64)
+    return pa.table({"doc_id": pa.array(agg["doc_id"].to_numpy(np.int64)),
+                     "gh": pa.array(ghv),
+                     "cnt": pa.array(agg["cnt"].to_numpy(np.int64)),
+                     "bucket": pa.array((ghv % nb).astype(np.int32))})
+
+
 @_q("hot_ngram_flags", r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+') AS t
@@ -2470,34 +2500,27 @@ def hot_ngram_flags(sf_dir: str):
     locally inside map_groups — no broadcast, no second pass over text, no
     driver-side state. Each partition emits one (doc, n_grams, n_hot)
     partial per doc it saw; those reduce with a small integer-keyed
-    groupby-sum. Skew note: one ultra-hot gram's occurrences serialize into
-    one partition — at larger scale pre-aggregate (doc_id, g) -> count
-    inside the explode batch to bound the blowup to distinct pairs; the
-    bucket count derives from cluster width."""
+    groupby-sum. Skew guard: occurrences pre-aggregate to
+    (doc_id, gram) -> count INSIDE the explode batch, so an ultra-hot
+    boilerplate gram ships one row per (doc, gram) pair instead of one per
+    occurrence — its partition grows with distinct docs, never with raw
+    occurrence count (law pinned in tests/test_stages.py). The bucket count
+    derives from cluster width."""
     from ray.data.aggregate import Sum
-    from ..stages.text import token_ngrams
     K = 5
     nb = derived_num_buckets()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
-        doc_idx, grams = token_ngrams(t["text"], n=3)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)[doc_idx]
-        # ship 64-bit gram fingerprints, not strings: the shuffle payload
-        # drops ~3x and the per-bucket factorize runs on ints. Collision odds
-        # are birthday(n_distinct_grams, 2^64) — vanishing at test scale and
-        # noise-level for boilerplate stats at corpus scale.
-        gh = pd.util.hash_array(grams)
-        b = (gh % nb).astype(np.int32)
-        return pa.table({"doc_id": pa.array(ids), "gh": pa.array(gh),
-                         "bucket": pa.array(b)})
+        return _hot_ngram_explode(t, nb)
 
     def per_bucket(t: pa.Table) -> pa.Table:
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
         g_codes, _ = pd.factorize(t["gh"].to_numpy(zero_copy_only=False))
-        f = np.bincount(g_codes)
-        hot_occ = f[g_codes] >= K
+        f = np.bincount(g_codes, weights=cnt)       # occurrences per gram
+        hot_occ = np.where(f[g_codes] >= K, cnt, 0.0)
         d_codes, d_ids = pd.factorize(t["doc_id"].to_numpy(zero_copy_only=False))
-        n_grams = np.bincount(d_codes).astype(np.int64)
+        n_grams = np.bincount(d_codes, weights=cnt).astype(np.int64)
         n_hot = np.bincount(d_codes, weights=hot_occ).astype(np.int64)
         return pa.table({"doc_id": pa.array(np.asarray(d_ids)),
                          "n_grams": pa.array(n_grams), "n_hot": pa.array(n_hot)})

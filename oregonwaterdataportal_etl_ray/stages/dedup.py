@@ -418,6 +418,17 @@ class NgramPairVerifier:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ia = batch["id_a"].to_numpy(zero_copy_only=False)
         ib = batch["id_b"].to_numpy(zero_copy_only=False)
+        # fail loud with the offending ids, not an opaque in-actor KeyError:
+        # a pair referencing a doc absent from the pushdown-read text table
+        # means the documents file changed between the memoized pair build
+        # and this verify pass (same style as paginated.py's dead-page check)
+        missing = sorted({int(x) for x in np.concatenate([ia, ib])
+                          if int(x) not in self.sets})
+        if missing:
+            raise ValueError(
+                f"candidate pairs reference doc_id(s) {missing[:10]} absent "
+                "from the candidate text table — the documents file likely "
+                "changed between the pair build and the verify pass")
         jac = np.empty(len(ia), dtype=np.float64)
         for j in range(len(ia)):
             sa, sb = self.sets[int(ia[j])], self.sets[int(ib[j])]

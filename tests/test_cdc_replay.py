@@ -284,12 +284,17 @@ def test_num_buckets_mismatch_refused(corpus, tmp_path, ray_session):
         state_dir, num_buckets, compact_every, rename = state, 64, 4, None
     assert _engine(A()).num_buckets == 8
 
-    # pre-layout-persistence dirs: a bucket id >= the passed count is proof
-    # of a wrong value even without the marker
+    # pre-layout-persistence dirs carry the v1 (non-injective) key encoding
+    # — layout.json and the v2 key shipped together — so a dir with bucket
+    # state but no layout marker must refuse EVEN with the right bucket
+    # count (stamping it v2 would re-hash keys into different buckets)
     import os
     os.unlink(os.path.join(state, "layout.json"))
-    with pytest.raises(ValueError, match="bucket"):
+    with pytest.raises(ValueError, match="layout.json"):
         CdcEngine(state, num_buckets=4)
+    with pytest.raises(ValueError, match="layout.json"):
+        CdcEngine(state, num_buckets=8)   # correct count: still v1, refuse
+    assert not os.path.exists(os.path.join(state, "layout.json"))
 
 
 def test_reshard_with_fully_empty_buckets(corpus, tmp_path, ray_session):

@@ -425,6 +425,58 @@ def test_hot_ngram_flags_planted_boilerplate(ray_session, tmp_path):
     assert out.loc[99, "n_hot"] == 0 and out.loc[99, "hot_ratio"] == 0.0
 
 
+def test_hot_ngram_skew_guard_bounds_shuffle_rows(ray_session, tmp_path):
+    """The skew guard's law: an ultra-hot gram (one gram repeated 100x the
+    median per-gram frequency inside a doc) ships ONE weighted row per
+    (doc, gram) into the shuffle, never one row per occurrence — so a
+    boilerplate gram's partition grows with distinct docs, not occurrences.
+    And the weighted path must still produce oracle-identical stats."""
+    import duckdb
+    import pyarrow.parquet as pq
+    from oregonwaterdataportal_etl_ray.pipelines.queries import (
+        ORACLE_SQL, QUERIES, _hot_ngram_explode)
+    hot = ("spam " * 302).strip()           # ~300 copies of the "spam spam
+    docs = [{"doc_id": 0, "text": hot,       # spam" gram in ONE doc
+             "lang": "en", "source": "s", "n_chars": 0}]
+    docs += [{"doc_id": i, "text": f"alpha{i} beta{i} gamma{i} delta{i}",
+              "lang": "en", "source": "s", "n_chars": 0} for i in range(1, 8)]
+    t = pa.Table.from_pylist(docs)
+
+    ex = _hot_ngram_explode(t.select(["doc_id", "text"]), nb=8)
+    per_doc = ex.to_pandas().groupby("doc_id").size()
+    # doc 0 has 300 occurrences of one gram -> exactly 1 shuffled row
+    assert per_doc[0] == 1
+    assert ex.to_pandas().set_index("doc_id").loc[0, "cnt"] == 300
+    assert per_doc[1] == 2                  # 2 distinct grams, 2 rows
+
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/documents.parquet")
+    got = QUERIES["hot_ngram_flags"](sf).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.sql(ORACLE_SQL["hot_ngram_flags"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_ngram_pair_verifier_names_missing_doc_ids():
+    """A candidate pair referencing a doc absent from the pushdown-read text
+    table must fail with the offending ids in the message (not an opaque
+    in-actor KeyError) — the documents file changed between the memoized
+    pair build and the verify pass."""
+    from oregonwaterdataportal_etl_ray.stages.dedup import NgramPairVerifier
+    texts = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["a b c d e f", "a b c d e g"])})
+    v = NgramPairVerifier(texts, k=5)
+    ok = v(pa.table({"id_a": pa.array([1], pa.int64()),
+                     "id_b": pa.array([2], pa.int64())}))
+    assert ok.num_rows == 1
+    with pytest.raises(ValueError, match=r"\[7\]"):
+        v(pa.table({"id_a": pa.array([1], pa.int64()),
+                    "id_b": pa.array([7], pa.int64())}))
+
+
 def test_benchmark_decontaminate_flags_planted_overlap(ray_session, tmp_path):
     import duckdb
     from oregonwaterdataportal_etl_ray.pipelines.queries import QUERIES, ORACLE_SQL
