@@ -58,7 +58,8 @@ from ..state.manifest import (
     load_manifest,
     write_manifest,
 )
-from .merge import NormalizeEvents, drop_tombstones, merge_sorted_runs, reduce_lww
+from .merge import (BUCKET_HASH_DEFAULT, BUCKET_HASH_SIPHASH, NormalizeEvents,
+                    drop_tombstones, merge_sorted_runs, reduce_lww)
 from .schema import EvolutionSpec, conform_schema, plan_target_schema
 
 # serializes lazy read-plan builds across prefetch threads (see _normalized)
@@ -526,7 +527,15 @@ class CdcEngine:
         # bucket: duplicate PKs in the merged table, tombstones that no
         # longer block their key's stale upserts). Persist it on first use
         # and refuse a mismatched resume loudly.
-        persisted = self.persisted_num_buckets(state_dir)
+        layout = self.persisted_layout(state_dir)
+        persisted = None if layout is None else int(layout["num_buckets"])
+        # the bucket-hash recipe is placement-defining persisted state: a
+        # dir keeps the recipe it was built with (pre-recipe layouts were
+        # written by the pandas-siphash code -> v1); only fresh dirs get
+        # the current default
+        self.bucket_hash = (BUCKET_HASH_DEFAULT if layout is None
+                            else int(layout.get("bucket_hash",
+                                                BUCKET_HASH_SIPHASH)))
         if persisted is None:
             # A dir with persisted bucket state but NO layout.json predates
             # layout persistence — i.e. it was written with the v1
@@ -553,7 +562,9 @@ class CdcEngine:
                         "log")
             atomic_write_bytes(self._layout_path(state_dir),
                                json.dumps({"num_buckets": num_buckets,
-                                           "key_encoding": 2}).encode())
+                                           "key_encoding": 2,
+                                           "bucket_hash": self.bucket_hash
+                                           }).encode())
         elif persisted != num_buckets:
             raise ValueError(
                 f"state dir {state_dir!r} was built with num_buckets="
@@ -565,10 +576,11 @@ class CdcEngine:
         return os.path.join(state_dir, "layout.json")
 
     @classmethod
-    def persisted_num_buckets(cls, state_dir: str) -> int | None:
-        """The bucket count this state dir was built with, or None for a
-        fresh dir (or one written before layout persistence existed).
-        Also refuses a key-encoding mismatch: the injective v2 key changes
+    def persisted_layout(cls, state_dir: str) -> dict | None:
+        """The persisted placement-defining layout (num_buckets, key
+        encoding, bucket-hash recipe), or None for a fresh dir (or one
+        written before layout persistence existed).
+        Refuses a key-encoding mismatch: the injective v2 key changes
         bucket placement, so replaying a v1 dir with v2 code would split
         keys across buckets (same corruption class as a bucket-count
         drift)."""
@@ -583,7 +595,14 @@ class CdcEngine:
                 f"v{data.get('key_encoding', 1)}; this engine uses v2 "
                 "(injective length-prefixed keys) — rebuild the state dir "
                 "by replaying from the event log")
-        return int(data["num_buckets"])
+        return data
+
+    @classmethod
+    def persisted_num_buckets(cls, state_dir: str) -> int | None:
+        """The bucket count this state dir was built with (see
+        :meth:`persisted_layout`)."""
+        layout = cls.persisted_layout(state_dir)
+        return None if layout is None else int(layout["num_buckets"])
 
     @staticmethod
     def retention_enabled(state_dir: str) -> bool:
@@ -700,7 +719,8 @@ class CdcEngine:
         self.save_schema(target)
         norm = snapshot.map_batches(
             NormalizeEvents(target_schema=target, num_buckets=self.num_buckets,
-                            evolution=self.evolution),
+                            evolution=self.evolution,
+                            bucket_hash=self.bucket_hash),
             batch_format="pyarrow", batch_size=self.normalize_batch_size)
         write = functools.partial(_bootstrap_bucket, state_dir=self.state_dir,
                                   epoch=0)
@@ -774,7 +794,8 @@ class CdcEngine:
                       if cut is not None else None)
         return ds.map_batches(
             NormalizeEvents(target_schema=target, num_buckets=self.num_buckets,
-                            evolution=self.evolution, watermarks=watermarks),
+                            evolution=self.evolution, watermarks=watermarks,
+                            bucket_hash=self.bucket_hash),
             batch_format="pyarrow",
             batch_size=self.normalize_batch_size,
         )
@@ -1148,6 +1169,12 @@ class CdcEngine:
 
         src_dir, dst_dir = self.state_dir, new_state_dir
         from .merge import bucket_of_keys, key_column
+        # placement in the NEW dir follows the NEW engine's persisted recipe
+        # (a fresh dst dir gets the current default) — so reshard doubles as
+        # the migration path off the legacy siphash recipe: old dirs keep
+        # replaying byte-identically under v1, a reshard rewrites placement
+        # under v2 with a byte-identical final table (pinned in pytest)
+        new_recipe = new_eng.bucket_hash
 
         # the empty-batch fallback must carry the FULL stored-row schema —
         # a bucket-only block would give the groupby shuffle inconsistent
@@ -1173,7 +1200,8 @@ class CdcEngine:
                 merged = merge_sorted_runs(parts)
                 if merged is None:
                     continue
-                nb = pa.array(bucket_of_keys(key_column(merged), new_num_buckets),
+                nb = pa.array(bucket_of_keys(key_column(merged), new_num_buckets,
+                                             new_recipe),
                               pa.int32())
                 merged = merged.set_column(
                     merged.schema.get_field_index("bucket"), "bucket", nb)

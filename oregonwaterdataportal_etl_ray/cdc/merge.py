@@ -67,23 +67,138 @@ def _encode_keys(keys: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, pa.Array
     return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64), enc.dictionary
 
 
-def _hash_uniques(uniq: pa.Array, num_buckets: int) -> np.ndarray:
+# Bucket-hash recipe versions. Bucket placement is PERSISTED state (a key
+# re-hashing to a different bucket corrupts the LSM merge), so the recipe id
+# lives in layout.json next to num_buckets/key_encoding and a state dir is
+# always read and written with the recipe it was built with.
+BUCKET_HASH_SIPHASH = 1   # pandas object-siphash (legacy; per-unique Python objects)
+BUCKET_HASH_POLY = 2      # vectorized polynomial + splitmix64 over Arrow buffers
+BUCKET_HASH_DEFAULT = BUCKET_HASH_POLY
+
+_POLY_P = np.uint64(0x100000001B3)            # FNV-1a 64 prime (public)
+_POLY_P_INV = np.uint64(pow(0x100000001B3, -1, 2 ** 64))  # mod-2^64 inverse
+_GOLD64 = np.uint64(0x9E3779B97F4A7C15)       # 2^64 / golden ratio
+
+
+_POW_BLOCK = 1 << 12
+_pow_small_tables: dict = {}
+
+
+def _POW_SMALL_CACHE(p: np.uint64) -> np.ndarray:
+    """p^k mod 2^64 for k < 4096 (one tiny sequential accumulate, cached)."""
+    key = int(p)
+    tab = _pow_small_tables.get(key)
+    if tab is None:
+        tab = np.ones(_POW_BLOCK, dtype=np.uint64)
+        tab[1:] = p
+        np.multiply.accumulate(tab, out=tab)
+        _pow_small_tables[key] = tab
+    return tab
+
+
+def _pow_blocks(p: np.uint64, hi: int) -> np.ndarray:
+    """(p^4096)^m mod 2^64 for m in 0..hi>>12 (tiny sequential accumulate)."""
+    small = _POW_SMALL_CACHE(p)
+    nb = (max(hi - 1, 0) >> 12) + 1
+    big = np.ones(nb, dtype=np.uint64)
+    if nb > 1:
+        # scalar uint64 wraparound warns; do the one scalar step in Python
+        big[1:] = np.uint64((int(small[-1]) * int(p)) & 0xFFFFFFFFFFFFFFFF)
+        np.multiply.accumulate(big, out=big)
+    return big
+
+
+def _blocked_pow(p: np.uint64, e: np.ndarray | int) -> np.ndarray:
+    """p^e mod 2^64 for an array of exponents: two tiny sequential
+    accumulates (p^k for k < 4096, and (p^4096)^m) + parallel gathers —
+    avoids a full-length ``multiply.accumulate`` whose serial dependency
+    chain would dominate at large buffers."""
+    e = np.asarray(e, dtype=np.int64)
+    hi = int(e.max()) if e.size else 0
+    big = _pow_blocks(p, hi + 1)
+    return big[e >> 12] * _POW_SMALL_CACHE(p)[e & (_POW_BLOCK - 1)]
+
+
+def _poly_hash_strings(uniq: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Deterministic vectorized 64-bit hash of a string/binary array: a
+    little-endian polynomial over the raw utf-8 buffer (h = sum byte_i *
+    P^i mod 2^64 within the row), length mixed in, splitmix64 finalizer
+    (Steele et al., "Fast Splittable PRNGs", OOPSLA'14 — public mixing
+    constants). Fully vectorized with NO per-row work: one global
+    ascending power table (an outer-product broadcast, no gathers), one
+    multiply, one reduceat for the segment sums, then a per-ROW rescale by
+    P^-start (P is odd hence invertible mod 2^64) to shift each row's
+    exponents back to zero. Pure numpy arithmetic with fixed constants:
+    the same key maps to the same value on every node/process. Nulls hash
+    like empty strings (deterministic; the normalize path rejects null
+    keys before here)."""
+    if isinstance(uniq, pa.ChunkedArray):
+        uniq = uniq.combine_chunks()
+    arr = pc.cast(uniq, pa.large_binary())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset:arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[off[0]:off[-1]] \
+        .astype(np.uint64)
+    starts = off - off[0]
+    lens = np.diff(starts)
+    G = len(data)
+    if G:
+        # With T_j = byte_j * P^j (GLOBAL ascending exponent),
+        # sum_{j in row} T_j == h_row * P^(start_row) — so one broadcast
+        # power table + one multiply + one reduceat + an n-sized inverse
+        # gather compute every row's polynomial. Measured ~2.5x faster
+        # than the sequential cumsum/accumulate forms at 6.6 MB of keys.
+        gpow = (_pow_blocks(_POLY_P, G)[:, None] *
+                _POW_SMALL_CACHE(_POLY_P)[None, :]).ravel()[:G]  # P^j
+        # terms live in a G+1 buffer with a zero sentinel so a trailing
+        # empty row's start == G stays a VALID reduceat index (clipping it
+        # instead would silently shorten the preceding row's segment)
+        terms = np.empty(G + 1, dtype=np.uint64)
+        terms[G] = 0
+        np.multiply(data, gpow, out=terms[:G])
+        seg = np.add.reduceat(terms, starts[:-1])
+        if (lens == 0).any():
+            # reduceat quirk: an empty segment returns terms[start], not 0
+            seg = np.where(lens == 0, np.uint64(0), seg)
+        h = seg * _blocked_pow(_POLY_P_INV, starts[:-1])
+    else:
+        h = np.zeros(n, dtype=np.uint64)
+    h = h + lens.astype(np.uint64) * _GOLD64
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def _hash_uniques(uniq: pa.Array, num_buckets: int,
+                  recipe: int = BUCKET_HASH_DEFAULT) -> np.ndarray:
     """THE bucket-hash recipe — the single definition both bucketing call
     sites (bucket_of_keys, NormalizeEvents) share: if the recipe ever
     drifted between them, normalize and reshard would disagree on bucket
-    placement (silent cross-bucket state corruption). pandas ``hash_array``
-    is a keyed siphash with a fixed default key, so the same key maps to
-    the same bucket on every node/process."""
-    return (pd.util.hash_array(np.asarray(uniq.to_pylist(), dtype=object))
-            % num_buckets).astype(np.int32)
+    placement (silent cross-bucket state corruption). ``recipe`` selects
+    the persisted layout's version: v1 is the legacy pandas siphash (kept
+    so pre-v2 state dirs stay resumable byte-identically), v2 the
+    vectorized polynomial+splitmix hash over the Arrow buffers — no
+    per-unique-key Python objects on the normalize hot path."""
+    if recipe == BUCKET_HASH_SIPHASH:
+        return (pd.util.hash_array(np.asarray(uniq.to_pylist(), dtype=object))
+                % num_buckets).astype(np.int32)
+    if recipe != BUCKET_HASH_POLY:
+        raise ValueError(f"unknown bucket-hash recipe {recipe!r}")
+    return (_poly_hash_strings(uniq) % np.uint64(num_buckets)).astype(np.int32)
 
 
-def bucket_of_keys(keys: pa.Array | pa.ChunkedArray, num_buckets: int) -> np.ndarray:
+def bucket_of_keys(keys: pa.Array | pa.ChunkedArray, num_buckets: int,
+                   recipe: int = BUCKET_HASH_DEFAULT) -> np.ndarray:
     """Deterministic hash bucket per key (stable across processes/nodes).
     Hashing runs over the dictionary-encoded *unique* values only, then
     broadcasts via take."""
     codes, uniq = _encode_keys(keys)
-    return _hash_uniques(uniq, num_buckets)[codes]
+    return _hash_uniques(uniq, num_buckets, recipe)[codes]
 
 
 def _lww_mask(codes: np.ndarray, lsn: np.ndarray) -> np.ndarray | None:
@@ -140,9 +255,11 @@ class NormalizeEvents:
 
     def __init__(self, target_schema: pa.Schema, num_buckets: int,
                  evolution: EvolutionSpec | None = None,
-                 watermarks: dict[int, int] | None = None):
+                 watermarks: dict[int, int] | None = None,
+                 bucket_hash: int = BUCKET_HASH_DEFAULT):
         self.target = target_schema
         self.num_buckets = num_buckets
+        self.bucket_hash = bucket_hash
         self.evolution = evolution or EvolutionSpec()
         if watermarks:
             wm = np.zeros(num_buckets, dtype=np.int64)
@@ -178,7 +295,7 @@ class NormalizeEvents:
         # state move); downstream recomputes it from (repo, path)
         # one dictionary-encode shared by bucketing AND the partial LWW reduce
         codes, uniq = _encode_keys(keys)
-        buckets = _hash_uniques(uniq, self.num_buckets)[codes]
+        buckets = _hash_uniques(uniq, self.num_buckets, self.bucket_hash)[codes]
         t = t.append_column("bucket", pa.array(buckets, pa.int32()))
         lsn = t.column("lsn").to_numpy(zero_copy_only=False)
         if self.wm is not None:

@@ -15,7 +15,15 @@ without any cross-node coordination. The fetch function is pluggable — a
 real deployment passes an HTTP/S3 client closure; tests pass a counting
 fake. This is the extension point a live connector plugs into; everything
 else in the engine consumes the resulting Dataset unchanged.
-"""
+
+For pools where keys are NOT co-partitioned, a ``SharedCache`` actor gives
+the reference's process-SHARED semantics: each pool actor keeps its local
+TTL cache as an L1 and consults the shared actor as an L2 before fetching,
+then populates both. One upstream fetch per URL across the whole pool (two
+actors racing the same cold key may both fetch — the same benign race a
+Redis GET/SET read-through has). Lookups and fills are batched per
+map_batches call, so the actor round-trip amortizes over the batch, and
+values move through the object store, not the driver."""
 
 from __future__ import annotations
 
@@ -54,6 +62,47 @@ class TTLCache:
             self._d.popitem(last=False)
 
 
+class _SharedCacheImpl:
+    """The shared L2 cache actor body (plain class; wrapped by ray.remote in
+    :func:`shared_cache` so tests can also drive it in-process)."""
+
+    def __init__(self, ttl_s: float | None = None, max_entries: int = 1_000_000):
+        self.cache = TTLCache(ttl_s, max_entries)
+        self.hits = 0
+        self.misses = 0
+
+    def get_many(self, keys: list) -> list:
+        out = []
+        for k in keys:
+            v, ok = self.cache.get(k)
+            out.append(v if ok else None)
+            if ok:
+                self.hits += 1
+            else:
+                self.misses += 1
+        return out
+
+    def put_many(self, keys: list, vals: list) -> None:
+        for k, v in zip(keys, vals):
+            if v is not None:               # corrupt/absent: never cached
+                self.cache.put(k, v)
+
+    def stats(self) -> dict:
+        return {"hits": self.hits, "misses": self.misses,
+                "entries": len(self.cache._d)}
+
+
+def shared_cache(ttl_s: float | None = None, max_entries: int = 1_000_000,
+                 **actor_opts):
+    """Start the shared L2 cache actor (one per pipeline; pass its handle to
+    every :class:`CachedFetchStage` in the pool). ``num_cpus=0`` by default
+    so the cache never competes with pool actors for scheduling slots."""
+    import ray
+    opts = {"num_cpus": 0, **actor_opts}
+    return ray.remote(_SharedCacheImpl).options(**opts).remote(
+        ttl_s=ttl_s, max_entries=max_entries)
+
+
 class CachedFetchStage:
     """map_batches actor stage: key column -> payload column through a
     per-actor read-through TTL cache.
@@ -63,18 +112,29 @@ class CachedFetchStage:
     at engine scale the upstream call must amortize). ``force_fetch``
     bypasses the cache for every key (reference parity). A fetched value of
     ``None`` is treated as corrupt/absent and is NOT cached, so the next
-    access refetches (the reference's refetch-on-corrupt path)."""
+    access refetches (the reference's refetch-on-corrupt path).
+
+    ``shared``: optional handle from :func:`shared_cache` — consulted as an
+    L2 for keys missing from the local cache (ONE batched ``get_many`` per
+    map_batches call) and populated with upstream fetches, so N pool actors
+    share hits instead of paying N misses per URL."""
 
     def __init__(self, fetch_fn: Callable[[Sequence], list], key_col: str,
                  out_col: str = "payload", ttl_s: float | None = None,
                  force_fetch: bool = False, max_entries: int = 100_000,
-                 out_type: pa.DataType = pa.large_binary()):
+                 out_type: pa.DataType = pa.large_binary(),
+                 shared=None):
         self.fetch_fn = fetch_fn
         self.key_col = key_col
         self.out_col = out_col
         self.force_fetch = force_fetch
         self.cache = TTLCache(ttl_s, max_entries)
         self.out_type = out_type
+        self.shared = shared
+
+    def _shared_get(self, keys: list) -> list:
+        import ray
+        return ray.get(self.shared.get_many.remote(keys))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch[self.key_col].to_pylist()
@@ -90,6 +150,19 @@ class CachedFetchStage:
                     vals[i], hit[i] = v, True
                 else:
                     missing_idx.append(i)
+        if missing_idx and self.shared is not None and not self.force_fetch:
+            # L2: one batched round-trip for the deduped local misses
+            need = list(dict.fromkeys(keys[i] for i in missing_idx))
+            l2 = dict(zip(need, self._shared_get(need)))
+            still: list[int] = []
+            for i in missing_idx:
+                v = l2.get(keys[i])
+                if v is not None:
+                    vals[i], hit[i] = v, True
+                    self.cache.put(keys[i], v)   # promote into L1
+                else:
+                    still.append(i)
+            missing_idx = still
         if missing_idx:
             # one batched fetch for all misses, deduped by key
             need = list(dict.fromkeys(keys[i] for i in missing_idx))
@@ -104,5 +177,11 @@ class CachedFetchStage:
                 vals[i] = v
                 if v is not None:           # corrupt/absent: never cached
                     self.cache.put(keys[i], v)
+            if self.shared is not None:
+                ok_keys = [k for k in need if fetched.get(k) is not None]
+                if ok_keys:
+                    # fire-and-forget fill; a racing reader just refetches
+                    self.shared.put_many.remote(
+                        ok_keys, [fetched[k] for k in ok_keys])
         out = batch.append_column(self.out_col, pa.array(vals, self.out_type))
         return out.append_column("cache_hit", pa.array(hit))

@@ -91,3 +91,94 @@ def test_cached_fetch_in_ray_pipeline(ray_session):
     assert len(out) == 50
     assert out["payload"].notna().all()
     assert out["cache_hit"].sum() > 0              # later batches hit
+
+
+def test_shared_cache_one_fetch_per_url_across_pool():
+    """The reference's process-SHARED cache semantics (T1, Redis
+    get_or_fetch): with a SharedCache L2, N pool actors pay ONE upstream
+    fetch per URL total — the second actor's cold local cache hits the L2
+    instead of refetching. Driven deterministically with two stage
+    instances (simulating two pool actors) sharing one cache actor."""
+    import ray
+
+    from oregonwaterdataportal_etl_ray.stages.cache import shared_cache
+
+    @ray.remote
+    class FetchCounter:
+        def __init__(self):
+            self.per_key = {}
+
+        def record(self, keys):
+            for k in keys:
+                self.per_key[k] = self.per_key.get(k, 0) + 1
+
+        def counts(self):
+            return self.per_key
+
+    counter = FetchCounter.remote()
+
+    def fetch(keys):
+        ray.get(counter.record.remote(list(keys)))
+        return [f"payload:{k}".encode() for k in keys]
+
+    l2 = shared_cache()
+    actor_a = CachedFetchStage(fetch, key_col="url", shared=l2)
+    actor_b = CachedFetchStage(fetch, key_col="url", shared=l2)
+
+    out_a = actor_a(_batch(["u1", "u2"]))
+    assert out_a["cache_hit"].to_pylist() == [False, False]
+    # the L2 fill is fire-and-forget; barrier on the actor before reading
+    ray.get(l2.stats.remote())
+
+    out_b = actor_b(_batch(["u1", "u2", "u3"]))
+    # u1/u2 hit via the shared layer despite actor_b's cold local cache
+    assert out_b["cache_hit"].to_pylist() == [True, True, False]
+    assert out_b["payload"].to_pylist()[0] == b"payload:u1"
+    ray.get(l2.stats.remote())
+    assert ray.get(counter.counts.remote()) == {"u1": 1, "u2": 1, "u3": 1}
+
+    # L1 promotion: a repeat on actor_b is local (no new fetches)
+    out_b2 = actor_b(_batch(["u1", "u3"]))
+    assert out_b2["cache_hit"].to_pylist() == [True, True]
+    assert ray.get(counter.counts.remote()) == {"u1": 1, "u2": 1, "u3": 1}
+
+    st = ray.get(l2.stats.remote())
+    assert st["entries"] == 3 and st["hits"] >= 2
+
+
+def test_shared_cache_in_ray_pipeline(ray_session):
+    """Plumbing: the shared handle pickles into a real map_batches actor
+    pool and total upstream fetches stay <= unique keys + the benign
+    concurrent-cold-key race (two actors racing one cold key)."""
+    import ray
+
+    from oregonwaterdataportal_etl_ray.stages.cache import shared_cache
+
+    @ray.remote
+    class FetchCounter:
+        def __init__(self):
+            self.n = 0
+
+        def record(self, k):
+            self.n += k
+
+        def total(self):
+            return self.n
+
+    counter = FetchCounter.remote()
+
+    def fetch(keys):
+        ray.get(counter.record.remote(len(keys)))
+        return [f"p:{k}".encode() for k in keys]
+
+    l2 = shared_cache()
+    rows = [{"url": f"u{i % 10}"} for i in range(200)]
+    ds = ray.data.from_items(rows).map_batches(
+        CachedFetchStage,
+        fn_constructor_kwargs=dict(fetch_fn=fetch, key_col="url", shared=l2),
+        batch_format="pyarrow", batch_size=25, concurrency=2)
+    out = ds.take_all()
+    assert len(out) == 200
+    assert all(r["payload"] == f"p:{r['url']}".encode() for r in out)
+    # 10 unique keys; allow the 2-actor cold race but not per-batch misses
+    assert ray.get(counter.total.remote()) <= 20

@@ -358,3 +358,91 @@ def test_size_tiered_compaction(corpus, tmp_path, ray_session):
     eng2.replay(corpus["files"][:4], epoch_size=1)
     assert any(len(m.runs) > 1 for m in eng2.lineage().values())
     _assert_matches_oracle(eng2, corpus["files"][:4])
+
+
+def test_bucket_hash_recipe_persistence_and_migration(corpus, tmp_path):
+    """The bucket-hash recipe is placement-defining persisted state:
+
+    - a legacy dir (layout.json WITHOUT bucket_hash — written by the
+      pandas-siphash code) keeps replaying under v1, byte-identical with
+      the oracle across a resume in a 'new' engine;
+    - a fresh dir is stamped with the current (vectorized) recipe v2 and
+      its placement actually differs from v1 (the stamp is load-bearing);
+    - reshard() is the migration path: resharding the legacy dir writes a
+      v2-recipe dir whose final table is byte-identical.
+    """
+    import json
+    import os
+
+    from oregonwaterdataportal_etl_ray.cdc.merge import (
+        BUCKET_HASH_POLY, BUCKET_HASH_SIPHASH, bucket_of_keys, key_column)
+
+    files = sorted(corpus["files"])
+
+    # --- legacy dir: pre-stamp a layout with no bucket_hash field
+    legacy = str(tmp_path / "legacy")
+    os.makedirs(legacy)
+    with open(os.path.join(legacy, "layout.json"), "w") as f:
+        json.dump({"num_buckets": 8, "key_encoding": 2}, f)
+    eng = CdcEngine(legacy, num_buckets=8, compact_every=2)
+    assert eng.bucket_hash == BUCKET_HASH_SIPHASH
+    eng.replay(files[:3], epoch_size=1)
+    _assert_matches_oracle(eng, files[:3])
+    # resume in a fresh engine instance: recipe must be re-read, not default
+    eng2 = CdcEngine(legacy, num_buckets=8, compact_every=2)
+    assert eng2.bucket_hash == BUCKET_HASH_SIPHASH
+    eng2.replay(files, epoch_size=2)
+    _assert_matches_oracle(eng2, files)
+    with open(os.path.join(legacy, "layout.json")) as f:
+        assert "bucket_hash" not in json.load(f)   # never silently upgraded
+
+    # --- fresh dir: stamped v2, placement differs from v1 for these keys
+    fresh = str(tmp_path / "fresh")
+    feng = CdcEngine(fresh, num_buckets=8, compact_every=2)
+    assert feng.bucket_hash == BUCKET_HASH_POLY
+    with open(os.path.join(fresh, "layout.json")) as f:
+        assert json.load(f)["bucket_hash"] == BUCKET_HASH_POLY
+    feng.replay(files, epoch_size=2)
+    f_final = _assert_matches_oracle(feng, files)
+    import pyarrow as pa
+    keys = key_column(pa.table({"repo": f_final["repo"].tolist(),
+                                "path": f_final["path"].tolist()}))
+    assert (bucket_of_keys(keys, 8, BUCKET_HASH_POLY) !=
+            bucket_of_keys(keys, 8, BUCKET_HASH_SIPHASH)).any()
+
+    # --- migration: reshard the legacy dir -> v2 recipe, identical table
+    migrated = eng2.reshard(str(tmp_path / "migrated"), new_num_buckets=8)
+    assert migrated.bucket_hash == BUCKET_HASH_POLY
+    m_final = _assert_matches_oracle(migrated, files)
+    assert list(m_final["sha256"]) == list(f_final["sha256"])
+    # and the migrated dir keeps ingesting (placement is self-consistent)
+    migrated.replay(files, epoch_size=2)   # re-delivery: exactly-once no-op
+    _assert_matches_oracle(migrated, files)
+
+
+def test_poly_hash_vectorized_matches_properties():
+    """Determinism + distribution laws of the vectorized bucket hash:
+    stable across calls and array layouts (slice/chunk offsets), spreads
+    near-identical keys, handles empty strings and unicode."""
+    import numpy as np
+    import pyarrow as pa
+
+    from oregonwaterdataportal_etl_ray.cdc.merge import _poly_hash_strings
+
+    keys = ["", "a", "b", "ab", "ba", "répo\x1fpath", "répo", "a" * 3000] + \
+           [f"4\x1frepo{i}\x1fsrc/f{i}.py" for i in range(2000)]
+    arr = pa.array(keys, pa.string())
+    h1 = _poly_hash_strings(arr)
+    h2 = _poly_hash_strings(arr)
+    assert (h1 == h2).all()
+    # offset invariance: hashing a slice equals slicing the hashes
+    assert (_poly_hash_strings(arr.slice(3, 50)) == h1[3:53]).all()
+    # chunk invariance
+    ch = pa.chunked_array([arr.slice(0, 7), arr.slice(7)])
+    assert (_poly_hash_strings(ch) == h1).all()
+    # distinct inputs hash distinctly here (collision would be catastrophic
+    # at 2000 keys only if the mix were broken)
+    assert len(np.unique(h1)) == len(keys)
+    # bucket spread: no bucket of 64 takes more than 4x its fair share
+    b = h1 % np.uint64(64)
+    assert np.bincount(b.astype(np.int64), minlength=64).max() < 4 * len(keys) / 64
