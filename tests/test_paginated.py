@@ -138,3 +138,86 @@ def test_all_empty_page_batch_schema(ray_session):
     ds2 = paginated_dataset(lambda: over, fetch_overcount, PAGE)
     with pytest.raises(Exception, match="schema"):
         ds2.materialize()
+
+
+def test_retrying_fetch_backs_off_then_succeeds_and_fails_loud():
+    """The worked live-connector shape: a transiently failing endpoint is
+    retried on the policy's schedule and succeeds; attempts exhausted
+    re-raises with the key named; non-retryable errors propagate at once."""
+    import pytest
+
+    from oregonwaterdataportal_etl_ray.sources.paginated import (
+        RetryPolicy, retrying_fetch)
+
+    calls = {"n": 0}
+
+    def flaky(key):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("transient")
+        return f"ok:{key}".encode()
+
+    fast = RetryPolicy(max_attempts=4, base_delay_s=0.001, multiplier=2.0)
+    fetch = retrying_fetch(flaky, policy=fast)
+    assert fetch(["a"]) == [b"ok:a"]
+    assert calls["n"] == 3                      # 2 failures + 1 success
+
+    def dead(key):
+        raise TimeoutError("down")
+
+    with pytest.raises(RuntimeError, match="'p9'.*4 attempts"):
+        retrying_fetch(dead, policy=fast)(["p9"])
+
+    def broken(key):
+        raise ValueError("bad request")         # NOT retryable
+
+    with pytest.raises(ValueError, match="bad request"):
+        retrying_fetch(broken, policy=fast)(["x"])
+
+
+def test_rate_limiter_spaces_acquisitions():
+    import time as _t
+
+    from oregonwaterdataportal_etl_ray.sources.paginated import RateLimiter
+
+    rl = RateLimiter(rate_per_s=200, burst=1)
+    t0 = _t.monotonic()
+    for _ in range(11):
+        rl.acquire()
+    # 10 post-burst acquisitions at 200/s >= ~50 ms of enforced spacing
+    assert _t.monotonic() - t0 >= 0.045
+
+
+def test_retrying_fetch_composes_with_paginated_dataset(ray_session):
+    """End-to-end: retry wrapper + shared L2 cache through the full
+    count -> pages -> fetch -> parse connector."""
+    import json as _json
+
+    import ray
+
+    from oregonwaterdataportal_etl_ray.sources.paginated import (
+        RetryPolicy, paginated_dataset, retrying_fetch)
+    from oregonwaterdataportal_etl_ray.stages.cache import shared_cache
+
+    recs = [{"id": i, "v": f"r{i}"} for i in range(40)]
+    schema = pa.schema([("id", pa.int64()), ("v", pa.string())])
+
+    fail_first = {"done": False}
+
+    def fetch_one(key):
+        if not fail_first["done"]:
+            fail_first["done"] = True
+            raise ConnectionError("cold start")
+        params = dict(p.split("=") for p in key.split("&"))
+        lo = int(params["offset"])
+        return _json.dumps(
+            {"features": recs[lo:lo + int(params["limit"])]}).encode()
+
+    fetch = retrying_fetch(
+        fetch_one, policy=RetryPolicy(max_attempts=3, base_delay_s=0.001),
+        rate_per_s=10_000)
+    ds = paginated_dataset(lambda: len(recs), fetch, page_size=10,
+                           schema=schema, shared=shared_cache())
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    assert t.num_rows == len(recs)
+    assert sorted(t["id"].to_pylist()) == list(range(40))
