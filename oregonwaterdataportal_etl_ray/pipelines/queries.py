@@ -1880,20 +1880,54 @@ def dup_cluster_assign(sf_dir: str):
     consecutive doc_ids within each (lang, source) group, so a group of k
     docs is a path of diameter k-1 — the hard case for label propagation,
     resolved by stages/graph.py's contracting CC in O(log) rounds. The
-    oracle is the group-min window (a path's component is its min node)."""
+    oracle is the group-min window (a path's component is its min node).
+
+    Edge building is per-BATCH, never per-stratum: each batch emits chain
+    edges among its own members of a group, plus ONE (lang, source,
+    batch_min) linker row per group it saw; only the linker rows — at most
+    groups x batches, tiny — go through a groupby that chains the batch
+    minima together. A group spanning many blocks therefore never
+    materializes in one task (the at-scale fix for the round-3 note that
+    a whole stratum landed in one map_groups)."""
     from ..stages.graph import connected_components
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source"])
 
-    def chain_pairs(g: pa.Table) -> pa.Table:
-        ids = np.sort(g.column("doc_id").to_numpy(zero_copy_only=False))
+    def _sorted_segments(t: pa.Table):
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, src, lang))
+        lang, src, ids = lang[order], src[order], ids[order]
+        same = np.zeros(len(ids), dtype=bool)
+        if len(ids) > 1:
+            same[1:] = (lang[1:] == lang[:-1]) & (src[1:] == src[:-1])
+        return lang, src, ids, same
+
+    def batch_chain_edges(t: pa.Table) -> pa.Table:
+        _, _, ids, same = _sorted_segments(t)
+        keep = same[1:] if len(ids) > 1 else np.zeros(0, bool)
+        return pa.table({"id_a": pa.array(ids[:-1][keep], pa.int64()),
+                         "id_b": pa.array(ids[1:][keep], pa.int64())})
+
+    def batch_linkers(t: pa.Table) -> pa.Table:
+        lang, src, ids, same = _sorted_segments(t)
+        first = ~same                       # segment head = batch-local min
+        return pa.table({"lang": pa.array(lang[first], pa.string()),
+                         "source": pa.array(src[first], pa.string()),
+                         "bmin": pa.array(ids[first], pa.int64())})
+
+    def link_batch_minima(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column("bmin").to_numpy(zero_copy_only=False))
         if len(ids) < 2:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64())})
         return pa.table({"id_a": ids[:-1], "id_b": ids[1:]})
 
-    edges = ds.groupby(["lang", "source"]).map_groups(chain_pairs,
-                                                      batch_format="pyarrow")
-    cc = connected_components(edges)
+    chain = ds.map_batches(batch_chain_edges, batch_format="pyarrow")
+    linkers = (ds.map_batches(batch_linkers, batch_format="pyarrow")
+                 .groupby(["lang", "source"])
+                 .map_groups(link_batch_minima, batch_format="pyarrow"))
+    cc = connected_components(chain.union(linkers))
     return cc.rename_columns({"node": "doc_id"})
 
 

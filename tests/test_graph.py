@@ -124,3 +124,40 @@ def test_fast_path_equals_contraction_path(ray_session):
     fast = _cc_dict(connected_components(ds))              # n <= local_cap
     multi = _cc_dict(connected_components(ds, local_cap=64))
     assert fast == multi
+
+
+def test_dup_cluster_assign_per_batch_edges_across_blocks(ray_session, monkeypatch):
+    """The per-batch edge builder's law: a (lang, source) stratum SPLIT
+    ACROSS MANY BLOCKS still resolves to one component (within-batch chains
+    + the linker chain over batch minima), and the result equals the
+    group-min oracle. No task ever sees a whole stratum."""
+    import numpy as np
+    import pandas as pd
+
+    from oregonwaterdataportal_etl_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(3)
+    n = 600
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": rng.choice(["en", "de", "fr"], n),
+        "source": rng.choice(["s0", "s1", "s2", "s3"], n)})
+    # shuffle row order so group members scatter across blocks
+    df = df.sample(frac=1.0, random_state=5).reset_index(drop=True)
+    t = pa.Table.from_pandas(df, preserve_index=False)
+
+    def fake_read_table(sf_dir, name, columns=None, **kw):
+        assert name == "documents"
+        ds = ray.data.from_arrow(t.select(columns))
+        return ds.repartition(16)          # force many small blocks
+
+    monkeypatch.setattr(Q, "read_table", fake_read_table)
+    got = Q.QUERIES["dup_cluster_assign"]("<unused>").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    g = df.groupby(["lang", "source"])["doc_id"]
+    want = df.assign(component=g.transform("min"), n=g.transform("size"))
+    want = want.loc[want["n"] > 1, ["doc_id", "component"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "component"]].astype("int64"), want.astype("int64"))
