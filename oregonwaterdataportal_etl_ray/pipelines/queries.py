@@ -1882,51 +1882,76 @@ def dup_cluster_assign(sf_dir: str):
     resolved by stages/graph.py's contracting CC in O(log) rounds. The
     oracle is the group-min window (a path's component is its min node).
 
-    Edge building is per-BATCH, never per-stratum: each batch emits chain
-    edges among its own members of a group, plus ONE (lang, source,
-    batch_min) linker row per group it saw; only the linker rows — at most
-    groups x batches, tiny — go through a groupby that chains the batch
-    minima together. A group spanning many blocks therefore never
-    materializes in one task (the at-scale fix for the round-3 note that
-    a whole stratum landed in one map_groups)."""
+    Edge building is per-BATCH, never per-stratum: ONE pass over the corpus
+    emits, per batch, chain edges among its own members of a group plus ONE
+    (lang, source, batch_min) linker row per group it saw — both row kinds
+    in one edge-sized table, materialized once so the two downstream
+    branches (the edges themselves; the linker groupby that chains batch
+    minima, at most groups x batches rows) never re-execute the read. A
+    group spanning many blocks therefore never materializes in one task
+    (the at-scale fix for the round-3 note that a whole stratum landed in
+    one map_groups)."""
     from ..stages.graph import connected_components
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source"])
 
-    def _sorted_segments(t: pa.Table):
-        lang = t["lang"].to_numpy(zero_copy_only=False)
-        src = t["source"].to_numpy(zero_copy_only=False)
+    def batch_edges_and_linkers(t: pa.Table) -> pa.Table:
+        # dictionary-encode the group key BEFORE sorting: np.lexsort on
+        # object-dtype strings falls back to per-element Python compares
+        # (measured ~1.5s/batch at sf0.1); int codes sort in C
+        lc = pc.dictionary_encode(t["lang"].combine_chunks())
+        sc = pc.dictionary_encode(t["source"].combine_chunks())
+        lang = lc.indices.to_numpy(zero_copy_only=False)
+        src = sc.indices.to_numpy(zero_copy_only=False)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, src, lang))
         lang, src, ids = lang[order], src[order], ids[order]
         same = np.zeros(len(ids), dtype=bool)
         if len(ids) > 1:
             same[1:] = (lang[1:] == lang[:-1]) & (src[1:] == src[:-1])
-        return lang, src, ids, same
-
-    def batch_chain_edges(t: pa.Table) -> pa.Table:
-        _, _, ids, same = _sorted_segments(t)
         keep = same[1:] if len(ids) > 1 else np.zeros(0, bool)
-        return pa.table({"id_a": pa.array(ids[:-1][keep], pa.int64()),
-                         "id_b": pa.array(ids[1:][keep], pa.int64())})
-
-    def batch_linkers(t: pa.Table) -> pa.Table:
-        lang, src, ids, same = _sorted_segments(t)
+        lang_s = np.asarray(lc.dictionary.to_numpy(zero_copy_only=False),
+                            dtype=object)[lang]
+        src_s = np.asarray(sc.dictionary.to_numpy(zero_copy_only=False),
+                           dtype=object)[src]
         first = ~same                       # segment head = batch-local min
-        return pa.table({"lang": pa.array(lang[first], pa.string()),
-                         "source": pa.array(src[first], pa.string()),
-                         "bmin": pa.array(ids[first], pa.int64())})
+        n_e, n_l = int(keep.sum()), int(first.sum())
+        return pa.table({
+            "kind": pa.array(np.r_[np.zeros(n_e, np.int8),
+                                   np.ones(n_l, np.int8)]),
+            "id_a": pa.array(np.r_[ids[:-1][keep], ids[first]], pa.int64()),
+            "id_b": pa.array(np.r_[ids[1:][keep], np.zeros(n_l, np.int64)],
+                             pa.int64()),
+            "lang": pa.array(np.r_[np.full(n_e, "", object), lang_s[first]],
+                             pa.string()),
+            "source": pa.array(np.r_[np.full(n_e, "", object), src_s[first]],
+                               pa.string())})
 
-    def link_batch_minima(g: pa.Table) -> pa.Table:
-        ids = np.sort(g.column("bmin").to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        return pa.table({"id_a": ids[:-1], "id_b": ids[1:]})
-
-    chain = ds.map_batches(batch_chain_edges, batch_format="pyarrow")
-    linkers = (ds.map_batches(batch_linkers, batch_format="pyarrow")
-                 .groupby(["lang", "source"])
-                 .map_groups(link_batch_minima, batch_format="pyarrow"))
+    # edge-sized (never corpus-sized): materialize once, branch twice
+    combined = ds.map_batches(batch_edges_and_linkers,
+                              batch_format="pyarrow").materialize()
+    chain = combined.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(["id_a", "id_b"]),
+        batch_format="pyarrow")
+    # linker rows are bounded by n_strata x n_blocks — for THIS query's
+    # (lang, source) strata that is dozens x blocks, legitimately
+    # driver-small at any corpus size — so the batch-minima chaining runs
+    # as one pandas groupby instead of paying a Ray groupby's fixed ~1s
+    # exchange for a handful of rows. (The near-dup CC pipelines feed edges
+    # straight from LSH pairs and never build linkers at all.)
+    lk = (combined.map_batches(
+              lambda t: t.filter(pc.equal(t["kind"], 1))
+                         .select(["lang", "source", "id_a"]),
+              batch_format="pyarrow")
+          .to_pandas().sort_values("id_a"))
+    la, lb = [], []
+    for _, g in lk.groupby(["lang", "source"], sort=False):
+        ids = g["id_a"].to_numpy(np.int64)
+        la.append(ids[:-1])
+        lb.append(ids[1:])
+    linkers = ray.data.from_arrow(pa.table({
+        "id_a": pa.array(np.concatenate(la) if la else [], pa.int64()),
+        "id_b": pa.array(np.concatenate(lb) if lb else [], pa.int64())}))
     cc = connected_components(chain.union(linkers))
     return cc.rename_columns({"node": "doc_id"})
 

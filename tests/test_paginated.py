@@ -75,9 +75,12 @@ def test_paginated_fetch_through_cdc_engine(ray_session, tmp_path):
         page_size=PAGE,
         ttl_s=3600,
         concurrency=(1, 2))
-    # delivery order = page order x in-page order (from_items preserves it)
+    # NOTE: the streaming executor does NOT guarantee block delivery order
+    # (preserve_order is off by default), so sort by commit before treating
+    # this as an ordered batch file — exactly what a live connector must do
     got = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")),
                            promote_options="permissive")
+    got = got.sort_by([("commit", "ascending")])
     assert got.num_rows == N_EVENTS
     assert got["commit"][0].as_py().startswith("000000000001")
 
