@@ -2564,8 +2564,10 @@ def hot_ngram_flags(sf_dir: str):
     boilerplate gram ships one row per (doc, gram) pair instead of one per
     occurrence — its partition grows with distinct docs, never with raw
     occurrence count (law pinned in tests/test_stages.py). The bucket count
-    derives from cluster width."""
-    from ray.data.aggregate import Sum
+    derives from cluster width. The final per-doc reduce is the repo's
+    bucketed vectorized combine (hash doc_id into a bucket, one bincount
+    per bucket) — not Ray's multi-aggregate hash path, which BASELINE.md
+    measured ~10x slower on partials of this shape."""
     K = 5
     nb = derived_num_buckets()
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -2581,22 +2583,29 @@ def hot_ngram_flags(sf_dir: str):
         d_codes, d_ids = pd.factorize(t["doc_id"].to_numpy(zero_copy_only=False))
         n_grams = np.bincount(d_codes, weights=cnt).astype(np.int64)
         n_hot = np.bincount(d_codes, weights=hot_occ).astype(np.int64)
-        return pa.table({"doc_id": pa.array(np.asarray(d_ids)),
-                         "n_grams": pa.array(n_grams), "n_hot": pa.array(n_hot)})
+        d_ids = np.asarray(d_ids)
+        return pa.table({"doc_id": pa.array(d_ids),
+                         "n_grams": pa.array(n_grams),
+                         "n_hot": pa.array(n_hot),
+                         "__b": pa.array((d_ids & (nb - 1)).astype(np.int32))})
 
-    partials = (ds.map_batches(explode, batch_format="pyarrow")
-                  .groupby("bucket")
-                  .map_groups(per_bucket, batch_format="pyarrow"))
-    summed = partials.groupby("doc_id").aggregate(
-        Sum("n_grams", alias_name="n_grams"), Sum("n_hot", alias_name="n_hot"))
-
-    def ratio(t: pa.Table) -> pa.Table:
-        ng = t["n_grams"].to_numpy(zero_copy_only=False).astype(np.float64)
-        nh = t["n_hot"].to_numpy(zero_copy_only=False).astype(np.float64)
+    def sum_and_ratio(g: pa.Table) -> pa.Table:
+        d_codes, d_ids = pd.factorize(g["doc_id"].to_numpy(zero_copy_only=False))
+        ng = np.bincount(d_codes,
+                         weights=g["n_grams"].to_numpy(zero_copy_only=False))
+        nh = np.bincount(d_codes,
+                         weights=g["n_hot"].to_numpy(zero_copy_only=False))
         r6 = np.floor(nh / ng * 1e6 + 0.5) / 1e6
-        return t.append_column("hot_ratio", pa.array(r6))
+        return pa.table({"doc_id": pa.array(np.asarray(d_ids)),
+                         "n_grams": pa.array(ng.astype(np.int64)),
+                         "n_hot": pa.array(nh.astype(np.int64)),
+                         "hot_ratio": pa.array(r6, pa.float64())})
 
-    return summed.map_batches(ratio, batch_format="pyarrow")
+    return (ds.map_batches(explode, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(per_bucket, batch_format="pyarrow")
+              .groupby("__b")
+              .map_groups(sum_and_ratio, batch_format="pyarrow"))
 
 
 @_q("curation_pipeline", rf"""
