@@ -83,6 +83,21 @@ _GOLD64 = np.uint64(0x9E3779B97F4A7C15)       # 2^64 / golden ratio
 _POW_BLOCK = 1 << 12
 _pow_small_tables: dict = {}
 
+# Grow-only per-process scratch buffers: the hash's temporaries are MBs per
+# batch, and freshly malloc'd buffers of that size go through mmap/munmap +
+# first-touch page faults on every call — kernel work that serializes across
+# a node's 32 concurrent normalize workers. Reusing one arena per worker
+# process keeps the kernel out of the hot path entirely.
+_scratch_bufs: dict = {}
+
+
+def _scratch(name: str, n: int, dtype) -> np.ndarray:
+    need = n * np.dtype(dtype).itemsize
+    buf = _scratch_bufs.get(name)
+    if buf is None or buf.nbytes < need:
+        _scratch_bufs[name] = buf = np.empty(max(need, 1 << 20), np.uint8)
+    return buf[:need].view(dtype)
+
 
 def _POW_SMALL_CACHE(p: np.uint64) -> np.ndarray:
     """p^k mod 2^64 for k < 4096 (one tiny sequential accumulate, cached)."""
@@ -139,26 +154,31 @@ def _poly_hash_strings(uniq: pa.Array | pa.ChunkedArray) -> np.ndarray:
     if n == 0:
         return np.empty(0, np.uint64)
     off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset:arr.offset + n + 1]
-    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[off[0]:off[-1]] \
-        .astype(np.uint64)
+    raw = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[off[0]:off[-1]]
     starts = off - off[0]
     lens = np.diff(starts)
-    G = len(data)
+    G = len(raw)
     if G:
         # With T_j = byte_j * P^j (GLOBAL ascending exponent),
         # sum_{j in row} T_j == h_row * P^(start_row) — so one broadcast
         # power table + one multiply + one reduceat + an n-sized inverse
         # gather compute every row's polynomial. Measured ~2.5x faster
         # than the sequential cumsum/accumulate forms at 6.6 MB of keys.
-        gpow = (_pow_blocks(_POLY_P, G)[:, None] *
-                _POW_SMALL_CACHE(_POLY_P)[None, :]).ravel()[:G]  # P^j
+        # All G-sized temporaries come from the per-process scratch arena.
+        data = _scratch("ph_data", G, np.uint64)
+        np.copyto(data, raw, casting="unsafe")
+        big = _pow_blocks(_POLY_P, G)
+        gflat = _scratch("ph_gpow", len(big) * _POW_BLOCK, np.uint64)
+        np.multiply(big[:, None], _POW_SMALL_CACHE(_POLY_P)[None, :],
+                    out=gflat.reshape(len(big), _POW_BLOCK))
+        gpow = gflat[:G]                                        # P^j
         # terms live in a G+1 buffer with a zero sentinel so a trailing
         # empty row's start == G stays a VALID reduceat index (clipping it
         # instead would silently shorten the preceding row's segment)
-        terms = np.empty(G + 1, dtype=np.uint64)
+        terms = _scratch("ph_terms", G + 1, np.uint64)
         terms[G] = 0
         np.multiply(data, gpow, out=terms[:G])
-        seg = np.add.reduceat(terms, starts[:-1])
+        seg = np.add.reduceat(terms[:G + 1], starts[:-1])
         if (lens == 0).any():
             # reduceat quirk: an empty segment returns terms[start], not 0
             seg = np.where(lens == 0, np.uint64(0), seg)
