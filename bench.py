@@ -85,6 +85,9 @@ BATTERY = [
     "curation_pipeline",
     "hot_ngram_flags",
     "bpe_token_counts",
+    "chunk_documents",
+    "source_token_budget",
+    "above_avg_orders",
     "top_docs_per_lang",
     "tfidf_top_terms",
     "mixture_reweight",

@@ -2444,6 +2444,133 @@ def bpe_token_counts(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+_CHUNK_SIZE, _CHUNK_OVERLAP = 128, 32
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+@_q("chunk_documents", rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+')) END AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, n,
+         unnest(generate_series(0,
+             GREATEST(CAST(CEIL((n - {_CHUNK_OVERLAP}) / {_CHUNK_STRIDE}.0) AS BIGINT), 1) - 1)) AS chunk_id
+  FROM toks WHERE n > 0)
+SELECT doc_id, chunk_id,
+       chunk_id * {_CHUNK_STRIDE} AS start_tok,
+       LEAST(chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n) AS end_tok
+FROM c
+""")
+def chunk_documents(sf_dir: str):
+    """Context-window chunking (LLM-prep op: split each document into
+    fixed-size token windows with overlap — size 128, overlap 32, stride
+    96). Emits (doc_id, chunk_id, start_tok, end_tok) boundaries; one
+    vectorized pass per batch (token count -> per-doc chunk count ->
+    np.repeat explode), NO shuffle, chunk payloads never materialize here —
+    a downstream stage slices text lazily per chunk. n_chunks =
+    max(1, ceil((n - overlap) / stride)) so every token is covered and the
+    final partial window is kept."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        from ..stages.dedup import _within
+        n = token_count(t)["n_tokens"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = n > 0
+        ids, n = ids[pos], n[pos]
+        n_chunks = np.maximum(
+            np.ceil((n - _CHUNK_OVERLAP) / _CHUNK_STRIDE).astype(np.int64), 1)
+        doc = np.repeat(np.arange(len(ids)), n_chunks)
+        chunk = _within(n_chunks)
+        start = chunk * _CHUNK_STRIDE
+        end = np.minimum(start + _CHUNK_SIZE, n[doc])
+        return pa.table({"doc_id": pa.array(ids[doc], pa.int64()),
+                         "chunk_id": pa.array(chunk, pa.int64()),
+                         "start_tok": pa.array(start, pa.int64()),
+                         "end_tok": pa.array(end, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_SOURCE_TOKEN_BUDGET = 50_000
+
+
+@_q("source_token_budget", f"""
+WITH d AS (
+  SELECT source, doc_id, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum_chars
+  FROM documents)
+SELECT source, doc_id, n_chars, cum_chars
+FROM d WHERE cum_chars <= {_SOURCE_TOKEN_BUDGET}
+""")
+def source_token_budget(sf_dir: str):
+    """Per-source data budgeting (mixture capping, cf. the publicly
+    described per-domain caps in LLM data recipes): keep each source's
+    documents in doc_id order until a character budget is hit — a grouped
+    cumulative sum + threshold. Sources hash-bucket (the sessionize
+    discipline: one vectorized pass per bucket, a SOURCE's rows co-locate);
+    per-source ordered cumsum runs lexsort+cumsum-per-segment inside the
+    bucket task. Assumes a single source's rows fit a task (documented like
+    sessionize's per-user bound); the escape hatch is the two-pass
+    global_row_number shape in stages/window.py."""
+    from ..stages.window import user_bucketer
+    ds = read_table(sf_dir, "documents", columns=["source", "doc_id", "n_chars"])
+
+    def budget_group(g: pa.Table) -> pa.Table:
+        sc = pc.dictionary_encode(g["source"].combine_chunks())
+        src = sc.indices.to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        nc = g["n_chars"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, src))
+        src, ids, nc = src[order], ids[order], nc[order]
+        cum = np.cumsum(nc)
+        # per-segment cumsum: subtract the running total at each segment head
+        head = np.zeros(len(src), dtype=bool)
+        head[0] = True
+        head[1:] = src[1:] != src[:-1]
+        base = np.where(head, cum - nc, 0)
+        np.maximum.accumulate(base, out=base)
+        cum = cum - base
+        keep = cum <= _SOURCE_TOKEN_BUDGET
+        names = np.asarray(sc.dictionary.to_numpy(zero_copy_only=False),
+                           dtype=object)
+        return pa.table({"source": pa.array(names[src[keep]], pa.string()),
+                         "doc_id": pa.array(ids[keep], pa.int64()),
+                         "n_chars": pa.array(nc[keep], pa.int64()),
+                         "cum_chars": pa.array(cum[keep], pa.int64())})
+
+    return (ds.map_batches(user_bucketer(key="source"), batch_format="pyarrow")
+              .groupby("__bucket")
+              .map_groups(budget_group, batch_format="pyarrow"))
+
+
+@_q("above_avg_orders", """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+""")
+def above_avg_orders(sf_dir: str):
+    """Scalar-subquery filter (correlated-aggregate broadcast): ONE tiny
+    map-side-combined aggregate produces the global mean, which broadcasts
+    into a streaming filter pass — two scans, zero shuffles (the aggregate's
+    exchange moves one partial row per block). The SQL scalar subquery shape
+    a reference user would reach for."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    agg = ds.map_batches(
+        lambda t: pa.table({
+            "s": pa.array([pc.sum(t["o_totalprice"]).as_py() or 0.0]),
+            "n": pa.array([t.num_rows], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    avg = float(agg["s"].sum()) / max(int(agg["n"].sum()), 1)
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], avg)),
+        batch_format="pyarrow")
+
+
 @_q("top_docs_per_lang", f"""
 WITH s AS (
   SELECT doc_id, lang,

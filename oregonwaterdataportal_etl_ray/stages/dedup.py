@@ -51,6 +51,8 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 
 def _within(counts: np.ndarray) -> np.ndarray:
     """[0..c0), [0..c1), ... concatenated (the intra-segment index)."""
+    if len(counts) == 0:                     # empty batch (e.g. a Ray probe)
+        return np.empty(0, dtype=np.int64)
     total = int(counts.sum())
     starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
     return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)

@@ -676,3 +676,78 @@ def test_null_and_whitespace_edge_tolerance():
         "SELECT len(regexp_split_to_array(trim(?, ' '||chr(9)||chr(10)||"
         "chr(13)||chr(12)||chr(11)), '\\s+')) AS n", params=[txt]).fetchone()[0]
     assert ours["n_tokens"][0].as_py() == sql == 2
+
+
+def test_chunk_documents_multi_window_edges(ray_session, tmp_path):
+    """Chunk-boundary laws on planted lengths the fixtures never reach
+    (every sf-corpus doc is < 1 window): n == overlap -> 1 chunk,
+    n == size -> 1 chunk, n == size+1 -> 2 overlapping chunks, long docs
+    tile with stride coverage (no token left uncovered), blank text emits
+    nothing. Verified against the same DuckDB oracle on the planted table."""
+    import duckdb
+    import pyarrow.parquet as pq
+    from oregonwaterdataportal_etl_ray.pipelines.queries import (
+        ORACLE_SQL, QUERIES)
+    docs = [
+        {"doc_id": 0, "text": " ".join(f"t{i}" for i in range(32))},
+        {"doc_id": 1, "text": " ".join(f"t{i}" for i in range(128))},
+        {"doc_id": 2, "text": " ".join(f"t{i}" for i in range(129))},
+        {"doc_id": 3, "text": " ".join(f"t{i}" for i in range(300))},
+        {"doc_id": 4, "text": "   "},
+        {"doc_id": 5, "text": "one"},
+    ]
+    for d in docs:
+        d.update({"lang": "en", "source": "s", "n_chars": len(d["text"])})
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(docs), f"{sf}/documents.parquet")
+    got = QUERIES["chunk_documents"](sf).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+    per_doc = got.groupby("doc_id").size().to_dict()
+    assert per_doc == {0: 1, 1: 1, 2: 2, 3: 3, 5: 1}   # doc 4 (blank): none
+    d3 = got[got["doc_id"] == 3]
+    assert d3["start_tok"].tolist() == [0, 96, 192]
+    assert d3["end_tok"].tolist() == [128, 224, 300]
+    # coverage law: next chunk starts inside the previous one (overlap 32)
+    assert (d3["start_tok"].to_numpy()[1:]
+            < d3["end_tok"].to_numpy()[:-1]).all()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.sql(ORACLE_SQL["chunk_documents"]).df() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns].astype("int64"),
+                                  want.astype("int64"))
+
+
+def test_source_token_budget_cross_block_cumsum(ray_session, monkeypatch):
+    """The per-source running budget must be exact when a source's rows
+    scatter across many blocks (the bucket shuffle must co-locate them
+    before the cumsum), and the cut is strictly doc_id-ordered."""
+    import numpy as np
+    import ray
+
+    from oregonwaterdataportal_etl_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": rng.choice(["a", "b", "c"], n),
+        "n_chars": rng.integers(100, 2000, n).astype(np.int64)})
+    shuffled = df.sample(frac=1.0, random_state=2).reset_index(drop=True)
+    t = pa.Table.from_pandas(shuffled, preserve_index=False)
+
+    def fake_read_table(sf_dir, name, columns=None, **kw):
+        return ray.data.from_arrow(t.select(columns)).repartition(16)
+
+    monkeypatch.setattr(Q, "read_table", fake_read_table)
+    got = Q.QUERIES["source_token_budget"]("<unused>").to_pandas() \
+        .sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+    want = df.sort_values(["source", "doc_id"]).copy()
+    want["cum_chars"] = want.groupby("source")["n_chars"].cumsum()
+    want = want[want["cum_chars"] <= 50_000].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["source", "doc_id", "n_chars", "cum_chars"]],
+        want[["source", "doc_id", "n_chars", "cum_chars"]])
