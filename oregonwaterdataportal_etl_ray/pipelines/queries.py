@@ -2246,24 +2246,28 @@ def audio_decode_real(sf_dir: str):
 
 
 def _bench_gram_ref(sf_dir: str):
-    """Build the benchmark (eval-suite) token 3-gram set in ONE Ray task and
-    broadcast it via ray.put — eval suites are small relative to the training
-    corpus, so this is the small-side-broadcast shape; the driver never holds
-    the gram set, only the object ref."""
-    from ..stages.text import token_ngrams
+    """Build the benchmark (eval-suite) token 3-gram FINGERPRINT set in ONE
+    Ray task and broadcast it via the task's own ref — eval suites are small
+    relative to the training corpus, so this is the small-side-broadcast
+    shape; the driver never holds the set. Fingerprints, not strings: 8 B
+    per gram over the wire and vectorized sorted membership on the stream
+    side (collision class identical to hot_ngram_flags', birthday-bounded)."""
+    from ..stages.text import token_ngram_hashes
 
     @ray.remote
-    def bench_grams() -> set:
+    def bench_grams() -> np.ndarray:
         refs = read_table(sf_dir, "documents",
                           columns=["doc_id", "text"]).to_arrow_refs()
-        out: set = set()
+        out: list = []
         for ref in refs:
             tbl = ray.get(ref)
             ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
             sub = tbl.filter(pa.array(ids % 97 == 0))
-            _, grams = token_ngrams(sub["text"], n=3)
-            out.update(grams.tolist())
-        return out
+            _, gh = token_ngram_hashes(sub["text"], n=3)
+            out.append(gh)
+        # sorted-unique uint64 fingerprints: 8 B/gram to broadcast (vs ~25 B
+        # Python strings) and O(log) membership via np.isin's sorted path
+        return np.unique(np.concatenate(out)) if out else np.empty(0, np.uint64)
 
     # the task's own ObjectRef IS the broadcast handle — ray.get+ray.put here
     # would materialize the whole gram set on the driver and copy it twice
@@ -2294,28 +2298,29 @@ def benchmark_decontaminate(sf_dir: str):
     suite). Scale shape: the benchmark gram set is eval-suite-sized — built
     by ONE Ray task from a pruned read and broadcast as that task's object
     ref — while the
-    training side streams through a vectorized n-gram kernel + hash-set
-    membership check per batch; no shuffle at all (each row is one doc, so
-    per-doc distinct-hit counts are exact within a batch)."""
-    from ..stages.text import token_ngrams
+    training side streams through the string-free hashed n-gram kernel +
+    one vectorized sorted-membership check per batch; no shuffle at all
+    (each row is one doc, so per-doc distinct-hit counts are exact within
+    a batch)."""
+    from ..stages.text import token_ngram_hashes
 
     gref = _bench_gram_ref(sf_dir)
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     class Check:
         def __init__(self):
-            self.grams = ray.get(gref)
+            self.grams = ray.get(gref)          # sorted-unique uint64
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = t["doc_id"].to_numpy(zero_copy_only=False)
             keep = ids % 97 != 0
             sub = t.filter(pa.array(keep))
-            doc_idx, grams = token_ngrams(sub["text"], n=3)
-            hit = pd.Series(grams, copy=False).isin(self.grams).to_numpy()
+            doc_idx, gh = token_ngram_hashes(sub["text"], n=3)
+            hit = np.isin(gh, self.grams, assume_unique=False)
             if not hit.any():
                 return pa.table({"doc_id": pa.array([], pa.int64()),
                                  "n_hits": pa.array([], pa.int64())})
-            df = pd.DataFrame({"i": doc_idx[hit], "g": grams[hit]})
+            df = pd.DataFrame({"i": doc_idx[hit], "g": gh[hit]})
             per = df.drop_duplicates().groupby("i").size()
             sub_ids = sub["doc_id"].to_numpy(zero_copy_only=False)
             return pa.table({"doc_id": sub_ids[per.index.to_numpy()],
@@ -2642,10 +2647,9 @@ def _hot_ngram_explode(t: pa.Table, nb: int) -> pa.Table:
     runs on ints; collision odds are birthday(n_distinct_grams, 2^64) —
     vanishing at test scale, noise-level for boilerplate stats at corpus
     scale."""
-    from ..stages.text import token_ngrams
-    doc_idx, grams = token_ngrams(t["text"], n=3)
+    from ..stages.text import token_ngram_hashes
+    doc_idx, gh = token_ngram_hashes(t["text"], n=3)
     ids = t["doc_id"].to_numpy(zero_copy_only=False)[doc_idx]
-    gh = pd.util.hash_array(grams)
     agg = pd.DataFrame({"doc_id": ids, "gh": gh}) \
             .groupby(["doc_id", "gh"], sort=False).size() \
             .rename("cnt").reset_index()
@@ -2785,7 +2789,7 @@ def curation_pipeline(sf_dir: str):
     the map-side-combine + one bucket-shuffle keep-first; the final stats
     are a tiny groupby over ~n_langs keys."""
     from ray.data.aggregate import Count, Sum
-    from ..stages.text import token_ngrams
+    from ..stages.text import token_ngram_hashes
 
     gref = _bench_gram_ref(sf_dir)
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
@@ -2799,10 +2803,10 @@ def curation_pipeline(sf_dir: str):
             ids = t["doc_id"].to_numpy(zero_copy_only=False)
             t = t.filter(pa.array(ids % 97 != 0))  # training slice only
             scored = token_count(self.score(t))
-            doc_idx, grams = token_ngrams(t["text"], n=3)
+            doc_idx, gh = token_ngram_hashes(t["text"], n=3)
             contaminated = np.zeros(t.num_rows, dtype=bool)
-            if len(grams):
-                hit = pd.Series(grams, copy=False).isin(self.grams).to_numpy()
+            if len(gh):
+                hit = np.isin(gh, self.grams)
                 contaminated[np.unique(doc_idx[hit])] = True
             return pa.table({
                 "doc_id": t["doc_id"], "lang": t["lang"],

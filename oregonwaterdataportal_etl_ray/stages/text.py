@@ -243,6 +243,44 @@ def token_ngrams(col: "pa.ChunkedArray | pa.Array", n: int = 3
     return row_map[parents[starts]], s.to_numpy()
 
 
+_GRAM_COMBINE = np.uint64(0x100000001B3)     # FNV-1a 64 prime (public)
+
+
+def token_ngram_hashes(col: "pa.ChunkedArray | pa.Array", n: int = 3
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """``token_ngrams`` without ever materializing gram STRINGS: token
+    hashes come from the vectorized polynomial hash over the Arrow token
+    buffer (cdc.merge._poly_hash_strings — zero Python objects), and each
+    gram's 64-bit fingerprint combines its n token hashes with a wraparound
+    polynomial. Hash-equal == string-equal up to 64-bit collisions
+    (birthday-bounded — the same accepted class as hot_ngram_flags'
+    fingerprints; use ``token_ngrams`` when the actual strings must travel).
+    Token boundaries are unambiguous by construction: distinct token
+    sequences give distinct hash sequences, so no separator is needed."""
+    from ..cdc.merge import _poly_hash_strings
+    trimmed = pc.utf8_trim(pc.utf8_lower(col), TRIM_CHARS)
+    mask = pc.not_equal(trimmed, "")
+    toks = pc.split_pattern_regex(trimmed.filter(mask) if hasattr(trimmed, "filter")
+                                  else pc.filter(trimmed, mask), r"\s+")
+    row_map = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()                     # stays an Arrow array
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    if len(flat) < n:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    valid = parents[: len(parents) - n + 1] == parents[n - 1:]
+    starts = np.flatnonzero(valid)
+    if not len(starts):
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    h = _poly_hash_strings(flat)
+    g = h[starts].copy()
+    for j in range(1, n):
+        g *= _GRAM_COMBINE
+        g += h[starts + j]
+    return row_map[parents[starts]], g
+
+
 # ---------------------------------------------------------------------------
 # byte-bigram language model — perplexity quality filter
 # ---------------------------------------------------------------------------
