@@ -2366,25 +2366,32 @@ def tfidf_top_terms(sf_dir: str):
     n_docs = ds.count()
 
     def tf_partial(t: pa.Table) -> pa.Table:
+        from ..cdc.merge import _poly_hash_strings
         trimmed = pc.utf8_trim(pc.utf8_lower(t["text"]), TRIM_CHARS)
         t2 = pa.table({"doc_id": t["doc_id"], "text": trimmed}) \
                .filter(pc.not_equal(trimmed, ""))
         toks = pc.split_pattern_regex(t2["text"], r"\s+")
         parents = pc.list_parent_indices(toks)
+        # dictionary-encode the token stream: the (doc, term) combine runs
+        # on INT codes and the bucket hash touches only the UNIQUE terms
+        # (the vectorized polynomial hash — zero per-token Python objects)
+        enc = pc.list_flatten(toks).combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
         d = pd.DataFrame({
             "doc_id": pc.take(t2["doc_id"], parents).to_numpy(zero_copy_only=False),
-            "term": pc.list_flatten(toks).to_pandas()})
-        tf = d.groupby(["doc_id", "term"], sort=False).size() \
+            "code": codes})
+        tf = d.groupby(["doc_id", "code"], sort=False).size() \
               .rename("tf").reset_index()
+        gcodes = tf["code"].to_numpy(np.int64)
         # real term strings travel (the scored winner must report its term);
         # the bucket key is a hash so a term's rows co-locate
-        b = (pd.util.hash_array(tf["term"].to_numpy(object)) % nb).astype(np.int32)
+        b = (_poly_hash_strings(enc.dictionary) % np.uint64(nb)).astype(np.int32)
         # explicit types: an all-blank batch must still emit this schema or
         # the empty block degrades the unified schema downstream
         return pa.table({"doc_id": pa.array(tf["doc_id"].to_numpy(np.int64)),
-                         "term": pa.array(tf["term"].to_numpy(object), pa.string()),
+                         "term": enc.dictionary.take(pa.array(gcodes)).cast(pa.string()),
                          "tf": pa.array(tf["tf"].to_numpy(np.int64)),
-                         "bucket": pa.array(b)})
+                         "bucket": pa.array(b[gcodes])})
 
     def score_bucket(t: pa.Table) -> pa.Table:
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
