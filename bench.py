@@ -67,6 +67,7 @@ BATTERY = [
     "token_counts",
     "doc_fingerprint",
     "redact_numbers",
+    "redact_pii",
     "winnow_fingerprints",
     "lm_perplexity", "compression_ratio",
     "sample_by_content_hash",

@@ -1294,6 +1294,44 @@ def redact_numbers(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+# RE2-compatible on both sides (Arrow and DuckDB): no backrefs/lookaround.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{1,4})?"
+
+
+@_q("redact_pii", f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text,
+           '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+       len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_PHONE_RE}')) AS n_phones
+FROM documents
+""")
+def redact_pii(sf_dir: str):
+    """PII scrub (training-data safety pass, cf. the publicly described
+    email/phone redaction in C4/RefinedWeb-style pipelines): emails first,
+    then phone-shaped digit runs on the already-email-redacted text (the
+    ordering is part of the operator contract — an email's digits must not
+    double-count as a phone). Two compiled-RE2 Arrow kernel passes per
+    batch, per-doc counts for observability, no shuffle, no Python rows."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        no_mail = pc.replace_substring_regex(t["text"], _EMAIL_RE, "<EMAIL>")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "redacted": pc.replace_substring_regex(no_mail, _PHONE_RE,
+                                                   "<PHONE>"),
+            "n_emails": pc.cast(pc.count_substring_regex(t["text"], _EMAIL_RE),
+                                pa.int64()),
+            "n_phones": pc.cast(pc.count_substring_regex(no_mail, _PHONE_RE),
+                                pa.int64()),
+        })
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 @_q("lang_doc_stats", """
 SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang

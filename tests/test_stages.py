@@ -751,3 +751,38 @@ def test_source_token_budget_cross_block_cumsum(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         got[["source", "doc_id", "n_chars", "cum_chars"]],
         want[["source", "doc_id", "n_chars", "cum_chars"]])
+
+
+def test_redact_pii_planted(ray_session, tmp_path):
+    """The fixture corpus contains no PII, so the oracle gate is trivially
+    green there — plant emails and phone shapes and verify the Ray kernel
+    against the DuckDB oracle AND the contract laws (emails redact first so
+    their digits never double-count as phones; mixed separators; the
+    optional extension group does not swallow trailing text)."""
+    import duckdb
+    import pyarrow.parquet as pq
+    from oregonwaterdataportal_etl_ray.pipelines.queries import (
+        ORACLE_SQL, QUERIES)
+    docs = [
+        {"doc_id": 0, "text": "mail bob@x.co or +1-555-123-4567 x"},
+        {"doc_id": 1, "text": "call 555.123.4567 then 1-800-555-0199 end"},
+        {"doc_id": 2, "text": "a.b+tag@sub.domain.org and no digits"},
+        {"doc_id": 3, "text": "clean text only"},
+        {"doc_id": 4, "text": "x9@y.io9 edge 1-234-5678"},
+    ]
+    for d in docs:
+        d.update({"lang": "en", "source": "s", "n_chars": len(d["text"])})
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(docs), f"{sf}/documents.parquet")
+    got = QUERIES["redact_pii"](sf).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.sql(ORACLE_SQL["redact_pii"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+    assert got.loc[0, "redacted"] == "mail <EMAIL> or <PHONE> x"
+    assert got.loc[0, "n_emails"] == 1 and got.loc[0, "n_phones"] == 1
+    assert got.loc[1, "n_phones"] == 2
+    assert got.loc[3, "redacted"] == "clean text only"
+    assert int(got["n_emails"].sum()) >= 3   # PII actually planted
