@@ -1936,9 +1936,14 @@ def dup_cluster_assign(sf_dir: str):
     def batch_edges_and_linkers(t: pa.Table) -> pa.Table:
         # dictionary-encode the group key BEFORE sorting: np.lexsort on
         # object-dtype strings falls back to per-element Python compares
-        # (measured ~1.5s/batch at sf0.1); int codes sort in C
-        lc = pc.dictionary_encode(t["lang"].combine_chunks())
-        sc = pc.dictionary_encode(t["source"].combine_chunks())
+        # (measured ~1.5s/batch at sf0.1); int codes sort in C. NULL keys
+        # fill with the sentinel _key_codes uses so they form ONE group
+        # (SQL PARTITION BY semantics) instead of NaN-poisoning the indices
+        from ..stages.kernels import _NULL_KEY
+        lc = pc.dictionary_encode(
+            pc.fill_null(t["lang"].combine_chunks(), _NULL_KEY))
+        sc = pc.dictionary_encode(
+            pc.fill_null(t["source"].combine_chunks(), _NULL_KEY))
         lang = lc.indices.to_numpy(zero_copy_only=False)
         src = sc.indices.to_numpy(zero_copy_only=False)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -2570,7 +2575,12 @@ def source_token_budget(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["source", "doc_id", "n_chars"])
 
     def budget_group(g: pa.Table) -> pa.Table:
-        sc = pc.dictionary_encode(g["source"].combine_chunks())
+        # NULL sources form one partition (SQL PARTITION BY semantics) via
+        # the shared sentinel — raw null indices would NaN-poison lexsort —
+        # and the sentinel maps back to NULL in the output
+        from ..stages.kernels import _NULL_KEY
+        sc = pc.dictionary_encode(
+            pc.fill_null(g["source"].combine_chunks(), _NULL_KEY))
         src = sc.indices.to_numpy(zero_copy_only=False)
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
         nc = g["n_chars"].to_numpy(zero_copy_only=False)
@@ -2587,6 +2597,12 @@ def source_token_budget(sf_dir: str):
         keep = cum <= _SOURCE_TOKEN_BUDGET
         names = np.asarray(sc.dictionary.to_numpy(zero_copy_only=False),
                            dtype=object)
+        # sentinel -> NULL in output; NOTE numpy's vectorized == silently
+        # mis-compares strings with embedded NULs, so compare in Python
+        # (names is the batch's UNIQUE sources — a handful of values)
+        for i, v in enumerate(names):
+            if v == _NULL_KEY:
+                names[i] = None
         return pa.table({"source": pa.array(names[src[keep]], pa.string()),
                          "doc_id": pa.array(ids[keep], pa.int64()),
                          "n_chars": pa.array(nc[keep], pa.int64()),

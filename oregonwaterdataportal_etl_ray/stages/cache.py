@@ -44,12 +44,17 @@ class TTLCache:
         self.max_entries = max_entries
         self._d: OrderedDict[object, tuple[float, object]] = OrderedDict()
 
-    def get(self, key):
+    def get(self, key, max_age_s: float | None = None):
+        """``max_age_s``: caller-scoped freshness bound, applied on top of
+        the cache's own ttl_s (the effective limit is the stricter of the
+        two) — lets one shared cache serve stages with different TTLs
+        without the cache's default becoming the weakest link."""
         item = self._d.get(key)
         if item is None:
             return None, False
         ts, val = item
-        if self.ttl_s is not None and time.monotonic() - ts > self.ttl_s:
+        limits = [t for t in (self.ttl_s, max_age_s) if t is not None]
+        if limits and time.monotonic() - ts > min(limits):
             del self._d[key]
             return None, False
         self._d.move_to_end(key)
@@ -71,10 +76,15 @@ class _SharedCacheImpl:
         self.hits = 0
         self.misses = 0
 
-    def get_many(self, keys: list) -> list:
+    def get_many(self, keys: list, max_age_s: float | None = None) -> list:
+        """``max_age_s``: the CALLING stage's ttl_s — enforced here per
+        lookup so an L2 created with the default (no expiry) can never
+        serve a stage entries older than that stage's own TTL (otherwise an
+        L1-expired key would be re-served stale from the shared layer and
+        re-promoted with a fresh TTL, unboundedly)."""
         out = []
         for k in keys:
-            v, ok = self.cache.get(k)
+            v, ok = self.cache.get(k, max_age_s=max_age_s)
             out.append(v if ok else None)
             if ok:
                 self.hits += 1
@@ -134,7 +144,10 @@ class CachedFetchStage:
 
     def _shared_get(self, keys: list) -> list:
         import ray
-        return ray.get(self.shared.get_many.remote(keys))
+        # pass OUR ttl as the freshness bound: the shared layer must never
+        # serve this stage an entry older than the stage's own TTL
+        return ray.get(self.shared.get_many.remote(
+            keys, max_age_s=self.cache.ttl_s))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch[self.key_col].to_pylist()

@@ -18,6 +18,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+# Sentinel no real cast-to-string value produces: fills NULL key components
+# BEFORE dictionary-encoding so nulls form one well-defined group (SQL GROUP
+# BY / PARTITION BY semantics) instead of NaN-poisoning the indices. Shared
+# by every group-key encoder (here, dup_cluster_assign, source_token_budget).
+_NULL_KEY = "\x00\x1e\x00"
+
+
 def _key_codes(t: pa.Table, key_cols: list[str]) -> np.ndarray:
     """Dense int64 group code per row. NULL-key handling is explicit: each
     null component is filled with a sentinel BEFORE encoding, so (a) all-null
@@ -25,7 +32,7 @@ def _key_codes(t: pa.Table, key_cols: list[str]) -> np.ndarray:
     instead of NaN indices silently casting to an undefined int, and (b) in
     composite keys (x, NULL) and (y, NULL) stay DISTINCT groups (the join
     kernel would otherwise null the whole composite when any part is null)."""
-    _NULL = "\x00\x1e\x00"   # sentinel no real cast-to-string value produces
+    _NULL = _NULL_KEY
     if len(key_cols) == 1:
         key = t.column(key_cols[0])
         if not pa.types.is_string(key.type):

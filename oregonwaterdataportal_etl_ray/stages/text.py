@@ -221,6 +221,24 @@ def token_ngrams(col: "pa.ChunkedArray | pa.Array", n: int = 3
     filters described publicly in the GPT-3 and PaLM papers): the benchmark
     side is eval-suite-sized, so its gram set broadcasts; the training side
     streams through this kernel batch by batch and never shuffles."""
+    row_map, flat, parents, starts = _tokenize_with_parents(col, n)
+    if not len(starts):
+        return np.empty(0, np.int64), np.empty(0, object)
+    flat = flat.to_numpy(zero_copy_only=False)            # object array
+    s = pd.Series(flat[starts], copy=False)
+    for j in range(1, n):
+        s = s + " " + pd.Series(flat[starts + j], copy=False)
+    return row_map[parents[starts]], s.to_numpy()
+
+
+def _tokenize_with_parents(col, n: int):
+    """The ONE tokenize preamble both n-gram kernels share (lowercase, trim
+    with TRIM_CHARS, whitespace split, per-token parent row, gram starts
+    where all n tokens share a row). token_ngrams and token_ngram_hashes
+    must stay hash-equal == string-equal — a drift between two copies of
+    this step would silently break the decontamination oracle parity, so
+    there are no copies. Returns (row_map, flat_tokens(Arrow), parents,
+    gram_starts); gram_starts is empty when nothing qualifies."""
     trimmed = pc.utf8_trim(pc.utf8_lower(col), TRIM_CHARS)
     mask = pc.not_equal(trimmed, "")
     toks = pc.split_pattern_regex(trimmed.filter(mask) if hasattr(trimmed, "filter")
@@ -228,19 +246,13 @@ def token_ngrams(col: "pa.ChunkedArray | pa.Array", n: int = 3
     row_map = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
-    flat = toks.flatten().to_numpy(zero_copy_only=False)  # object array
+    flat = toks.flatten()                                 # stays Arrow
     parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
     if len(flat) < n:
-        return np.empty(0, np.int64), np.empty(0, object)
+        return row_map, flat, parents, np.empty(0, np.int64)
     # gram start positions where all n tokens share a parent row
     valid = parents[: len(parents) - n + 1] == parents[n - 1:]
-    starts = np.flatnonzero(valid)
-    if not len(starts):
-        return np.empty(0, np.int64), np.empty(0, object)
-    s = pd.Series(flat[starts], copy=False)
-    for j in range(1, n):
-        s = s + " " + pd.Series(flat[starts + j], copy=False)
-    return row_map[parents[starts]], s.to_numpy()
+    return row_map, flat, parents, np.flatnonzero(valid)
 
 
 _GRAM_COMBINE = np.uint64(0x100000001B3)     # FNV-1a 64 prime (public)
@@ -256,21 +268,13 @@ def token_ngram_hashes(col: "pa.ChunkedArray | pa.Array", n: int = 3
     (birthday-bounded — the same accepted class as hot_ngram_flags'
     fingerprints; use ``token_ngrams`` when the actual strings must travel).
     Token boundaries are unambiguous by construction: distinct token
-    sequences give distinct hash sequences, so no separator is needed."""
+    sequences give distinct hash sequences, so no separator is needed.
+    Tokenization is byte-for-byte token_ngrams' (the shared
+    :func:`_tokenize_with_parents` preamble — a single definition, so the
+    two kernels cannot drift apart and break the decontamination oracle's
+    hash-equal == string-equal contract)."""
     from ..cdc.merge import _poly_hash_strings
-    trimmed = pc.utf8_trim(pc.utf8_lower(col), TRIM_CHARS)
-    mask = pc.not_equal(trimmed, "")
-    toks = pc.split_pattern_regex(trimmed.filter(mask) if hasattr(trimmed, "filter")
-                                  else pc.filter(trimmed, mask), r"\s+")
-    row_map = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    flat = toks.flatten()                     # stays an Arrow array
-    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-    if len(flat) < n:
-        return np.empty(0, np.int64), np.empty(0, np.uint64)
-    valid = parents[: len(parents) - n + 1] == parents[n - 1:]
-    starts = np.flatnonzero(valid)
+    row_map, flat, parents, starts = _tokenize_with_parents(col, n)
     if not len(starts):
         return np.empty(0, np.int64), np.empty(0, np.uint64)
     h = _poly_hash_strings(flat)

@@ -32,7 +32,11 @@ for name, fn in qs.items():
                   if tabs else pd.DataFrame())
         odf = con.execute(osql[name]).df()
         cols = sorted(odf.columns)
-        a = df[cols].sort_values(cols).reset_index(drop=True) if len(df) else df
+        # a correctly-empty Ray result may be a columnless DataFrame (no
+        # non-empty batches) — project it onto the oracle's columns so the
+        # 0-row compare is apples-to-apples instead of a false BAD
+        a = (df[cols].sort_values(cols).reset_index(drop=True) if len(df)
+             else odf.iloc[0:0][cols].reset_index(drop=True))
         b = odf[cols].sort_values(cols).reset_index(drop=True)
         ok_rows = len(a) == len(b)
         try:

@@ -182,3 +182,29 @@ def test_shared_cache_in_ray_pipeline(ray_session):
     assert all(r["payload"] == f"p:{r['url']}".encode() for r in out)
     # 10 unique keys; allow the 2-actor cold race but not per-batch misses
     assert ray.get(counter.total.remote()) <= 20
+
+
+def test_shared_cache_honors_stage_ttl():
+    """An L1-expired key must NOT be re-served stale from a shared L2 that
+    was created without its own expiry: the stage passes its ttl_s as the
+    L2 freshness bound, so the upstream refetches (the refetch-on-expiry
+    contract survives the shared layer)."""
+    import ray
+
+    from oregonwaterdataportal_etl_ray.stages.cache import shared_cache
+
+    calls = {"n": 0}
+
+    def fetch(keys):
+        calls["n"] += len(keys)
+        return [f"v{calls['n']}:{k}".encode() for k in keys]
+
+    l2 = shared_cache()                      # default: no expiry of its own
+    stage = CachedFetchStage(fetch, key_col="url", ttl_s=0.05, shared=l2)
+    first = stage(_batch(["u"]))["payload"].to_pylist()[0]
+    ray.get(l2.stats.remote())               # barrier on the async L2 fill
+    time.sleep(0.08)                         # expire the L1 entry
+    out = stage(_batch(["u"]))
+    assert out["cache_hit"].to_pylist() == [False]   # L2 did NOT serve stale
+    assert out["payload"].to_pylist()[0] != first    # genuinely refetched
+    assert calls["n"] == 2

@@ -786,3 +786,41 @@ def test_redact_pii_planted(ray_session, tmp_path):
     assert got.loc[1, "n_phones"] == 2
     assert got.loc[3, "redacted"] == "clean text only"
     assert int(got["n_emails"].sum()) >= 3   # PII actually planted
+
+
+def test_null_group_keys_do_not_crash_grouped_queries(ray_session, monkeypatch):
+    """Regression (code-review finding): a NULL lang/source row NaN-poisoned
+    the dictionary indices inside dup_cluster_assign's edge builder and
+    source_token_budget's cumsum (IndexError in the task). NULL keys must
+    form ONE group (SQL GROUP BY / PARTITION BY semantics) and
+    source_token_budget must emit NULL (not a sentinel) in its output."""
+    import numpy as np
+    import ray
+
+    from oregonwaterdataportal_etl_ray.pipelines import queries as Q
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "lang": ["en", None, "en", None, "de", "de", None, "en"],
+        "source": ["s", "s", "s", "s", None, None, "s", "s"],
+        "n_chars": np.full(8, 10, dtype=np.int64)})
+    t = pa.Table.from_pandas(df, preserve_index=False)
+
+    def fake_read_table(sf_dir, name, columns=None, **kw):
+        return ray.data.from_arrow(t.select(columns)).repartition(4)
+
+    monkeypatch.setattr(Q, "read_table", fake_read_table)
+
+    cc = Q.QUERIES["dup_cluster_assign"]("<unused>").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # (None,'s') docs 1,3,6 are one group -> component 1; ('de',None) 4,5 -> 4
+    got = dict(zip(cc["doc_id"], cc["component"]))
+    assert got[1] == 1 and got[3] == 1 and got[6] == 1
+    assert got[4] == 4 and got[5] == 4
+
+    budget = Q.QUERIES["source_token_budget"]("<unused>").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(budget) == 8                 # tiny corpus: all under budget
+    nulls = budget[budget["source"].isna()]
+    assert sorted(nulls["doc_id"]) == [4, 5]          # NULL restored, not a
+    assert set(nulls["cum_chars"]) == {10, 20}        # sentinel string
