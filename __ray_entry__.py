@@ -45,7 +45,11 @@ def _previously_verified() -> set[str]:
     import os
 
     here = os.path.dirname(os.path.abspath(__file__))
-    files = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    # numeric round order: a lexicographic sort would pick r99 over r100
+    files = sorted(
+        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
+        key=lambda p: int("".join(c for c in os.path.basename(p)
+                                  if c.isdigit()) or 0))
     if not files:
         return set()
     try:

@@ -213,6 +213,14 @@ def run_cdc(n_events: int, n_epochs: int = 4) -> dict:
     # from generation/previous runs so it can't steal bandwidth mid-run
     state_root = "/dev/shm/graft_bench" if os.path.isdir("/dev/shm") else "/tmp/graft_bench"
     state_dir = f"{state_root}/state-{os.getpid()}"
+    # sweep stale pid-suffixed state dirs first: a SIGKILL'd/OOM-killed prior
+    # run never reached its finally-rmtree, and multi-GB tmpfs leftovers
+    # stay RESIDENT IN RAM, skewing (or OOMing) every later bench
+    if os.path.isdir(state_root):
+        for name in os.listdir(state_root):
+            if name.startswith(("state-", "hashab-")):
+                shutil.rmtree(os.path.join(state_root, name),
+                              ignore_errors=True)
     shutil.rmtree(state_dir, ignore_errors=True)
     os.sync()
     t0 = time.time()

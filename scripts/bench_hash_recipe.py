@@ -22,6 +22,12 @@ def run(recipe: int, files: list[str], num_buckets: int = 64) -> dict:
 
     root = "/dev/shm/graft_bench" if os.path.isdir("/dev/shm") else "/tmp/graft_bench"
     state = f"{root}/hashab-{recipe}-{os.getpid()}"
+    # sweep stale hashab dirs from killed prior runs (tmpfs leftovers are
+    # resident RAM — same hygiene as bench.run_cdc)
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            if name.startswith("hashab-"):
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
     shutil.rmtree(state, ignore_errors=True)
     os.makedirs(state)
     atomic_write_bytes(os.path.join(state, "layout.json"),
