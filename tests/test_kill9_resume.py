@@ -151,3 +151,75 @@ def test_sigkill_with_retention_keeps_changelog_complete(ray_session, tmp_path):
     o = oracle_replay(sorted(meta["files"])[:cut + 1]) \
         .sort_values(["repo", "path"]).reset_index(drop=True)
     assert list(asof["sha256"]) == list(o["sha256"])
+
+
+RESHARD_JOB = r"""
+import glob, sys
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from oregonwaterdataportal_etl_ray.cdc.engine import CdcEngine
+CdcEngine(sys.argv[1], num_buckets=8).reshard(sys.argv[2], new_num_buckets=16)
+print("RESHARD DONE", flush=True)
+"""
+
+
+def test_sigkill_mid_reshard_rerun_completes_byte_identically(
+        ray_session, tmp_path):
+    """Reshard is also the legacy-hash MIGRATION path, so it gets the same
+    crash discipline as replay: SIGKILL the reshard job mid-move, re-run it,
+    and the new dir must read back byte-identically with the oracle (the
+    per-new-bucket manifest epoch check makes the re-run skip committed
+    buckets and finish the rest; partially-written files are tmp+rename
+    atomic so readers never see them)."""
+    ev_dir = str(tmp_path / "ev")
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    generate_change_events(ev_dir, GeneratorSpec(
+        n_events=24_000, n_repos=30, paths_per_repo=25, n_batches=6,
+        seed=37, dup_rate=0.06, shuffle_frac=0.4, delete_rate=0.05))
+    files = sorted(
+        os.path.join(ev_dir, f) for f in os.listdir(ev_dir)
+        if f.endswith(".parquet"))
+    CdcEngine(src, num_buckets=8, compact_every=3).replay(files, epoch_size=2)
+
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    proc = subprocess.Popen([sys.executable, "-c", RESHARD_JOB, src, dst],
+                            env=env, start_new_session=True,
+                            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+
+    def new_manifests() -> int:
+        mdir = os.path.join(dst, "manifest")
+        try:
+            return len([n for n in os.listdir(mdir) if n.startswith("bucket-")])
+        except OSError:
+            return 0
+
+    # kill once SOME new buckets committed but (likely) not all 16
+    deadline = time.time() + 120
+    while new_manifests() < 2 and time.time() < deadline and proc.poll() is None:
+        time.sleep(0.05)
+    if proc.poll() is None:
+        os.killpg(proc.pid, signal.SIGKILL)
+    proc.wait()
+    mid = new_manifests()
+
+    # re-run the reshard in-process: must complete and match the oracle
+    new_eng = CdcEngine(src, num_buckets=8).reshard(dst, new_num_buckets=16)
+    assert new_manifests() == 16 >= mid
+    final = new_eng.final_table().to_pandas() \
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    want = oracle_replay(files).sort_values(["repo", "path"]) \
+        .reset_index(drop=True)
+    assert list(final["sha256"]) == list(want["sha256"])
+    assert list(final["lsn"]) == list(want["lsn"])
+    # tmp files a SIGKILL stranded mid-write may physically remain, but the
+    # write protocol (write to .tmp/<uuid>, then os.replace) keeps them
+    # INVISIBLE to readers: no manifest may ever reference a .tmp path
+    from oregonwaterdataportal_etl_ray.state.manifest import load_all_manifests
+    for m in load_all_manifests(dst).values():
+        for rel in ([m.base_file] if m.base_file else []) + list(m.runs):
+            assert ".tmp" not in rel, rel
