@@ -349,7 +349,13 @@ def main() -> None:
     _init_ray(num_cpus)
     ensure_events(args.events or BENCH_EVENTS)   # one-time generation is
     t_start = time.time()                        # NOT replay or battery work
-    cdc = run_cdc(args.events or BENCH_EVENTS, args.epochs)
+    # the headline gets the SAME best-of-repeats protocol as --scaling: the
+    # host's documented ±25% noise makes a single shot uninformative (both
+    # runs are full replays from scratch; total wall still reports both)
+    runs_cdc = [run_cdc(args.events or BENCH_EVENTS, args.epochs)
+                for _ in range(2)]
+    cdc = min(runs_cdc, key=lambda r: r["sec"])
+    cdc["all_sec"] = [r["sec"] for r in runs_cdc]
     queries = dict(cdc_replay=cdc["sec"])
     queries.update(run_battery(sf_dir))
     total = round(time.time() - t_start, 3)
@@ -360,6 +366,7 @@ def main() -> None:
         "sf": sf_dir, "num_cpus": num_cpus,
         "cdc_events": cdc["events"],
         "cdc_events_per_sec": cdc["events_per_sec"],
+        "cdc_all_sec": cdc["all_sec"],
         "cdc_final_rows": cdc["final_rows"],
     }))
     import ray
