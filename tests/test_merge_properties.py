@@ -187,3 +187,37 @@ def test_pairs_in_partition_equals_per_bucket_reference(rows):
             p = bucket_pairs(pa.Table.from_pandas(g), max_bucket=5).to_pandas()
             want |= set(zip(p["id_a"], p["id_b"]))
     assert got_set == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=200), min_size=0, max_size=40),
+       st.integers(min_value=0, max_value=30))
+def test_poly_hash_matches_scalar_reference_property(keys, off):
+    """Property: the vectorized polynomial bucket hash equals the scalar
+    little-endian definition for ARBITRARY strings (embedded NULs, unicode,
+    empties, long runs) and is slice-offset invariant — the law the fixed
+    golden cases in test_cdc_replay.py spot-check."""
+    import numpy as np
+    import pyarrow as pa
+
+    from oregonwaterdataportal_etl_ray.cdc.merge import _poly_hash_strings
+
+    P, M = 0x100000001B3, 2 ** 64
+
+    def ref(s: str) -> int:
+        h = 0
+        for i, b in enumerate(s.encode()):
+            h = (h + b * pow(P, i, M)) % M
+        h = (h + len(s.encode()) * 0x9E3779B97F4A7C15) % M
+        h ^= h >> 30
+        h = (h * 0xBF58476D1CE4E5B9) % M
+        h ^= h >> 27
+        h = (h * 0x94D049BB133111EB) % M
+        return h ^ (h >> 31)
+
+    arr = pa.array(keys, pa.string())
+    got = _poly_hash_strings(arr)
+    assert [int(x) for x in got] == [ref(s) for s in keys]
+    off = min(off, len(keys))
+    sliced = _poly_hash_strings(arr.slice(off))
+    assert (sliced == np.asarray(got[off:])).all()
