@@ -81,6 +81,18 @@ def _read_rel(state_dir: str, rel: str) -> pa.Table:
     return pq.read_table(os.path.join(state_dir, rel))
 
 
+def _read_committed(state_dir: str, base_file: str | None,
+                    runs: list[str]) -> pa.Table | None:
+    """THE merge-on-read recipe — the single definition every committed-state
+    reader shares (_ReadBucket, compaction inside _merge_bucket, compact(),
+    reshard): [base] + runs, LWW-merged. If the assembly of committed state
+    ever changes (pruning, layout, tolerance), it changes HERE for every
+    reader at once."""
+    parts = ([_read_rel(state_dir, base_file)] if base_file else []) + \
+            [_read_rel(state_dir, r) for r in runs]
+    return merge_sorted_runs(parts)
+
+
 def _archive_runs(state_dir: str, rel_paths: list[str]) -> None:
     """Hardlink superseded RUN files (per-epoch LWW deltas) into
     ``changelog/bucket=B/run-E.parquet`` — the engine's downstream change
@@ -90,7 +102,13 @@ def _archive_runs(state_dir: str, rel_paths: list[str]) -> None:
     missing epochs (silently-stale as-of reads); the failure mode is
     instead a changelog entry whose run is still live in ``data/`` — same
     bytes under both names (a hardlink), deduplicated by epoch at read
-    time. Idempotent under retry (an existing archive entry is kept)."""
+    time. Idempotent under retry; a COLLIDING entry that is not this run's
+    own hardlink is replaced: it can only be the leftover of a crashed
+    attempt that never committed (a crash between archive and manifest
+    write, after which the epoch number may even have been reassigned to a
+    different file group on resume) — keeping it would permanently pin
+    never-committed bytes in the changelog once the live run is compacted
+    away, silently corrupting as-of/view-delta reads for that epoch."""
     for rel in rel_paths:
         if not os.path.basename(rel).startswith("run-"):
             continue
@@ -100,7 +118,22 @@ def _archive_runs(state_dir: str, rel_paths: list[str]) -> None:
         try:
             os.link(src, dst)      # no data copy; same filesystem by layout
         except FileExistsError:
-            pass
+            try:
+                same = os.path.samefile(src, dst)
+            except OSError:
+                same = False
+            if not same:
+                # stale pre-commit leftover: atomically point the archive
+                # at the bytes that are about to be committed
+                tmp = dst + ".relink"
+                try:
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
+                    os.link(src, tmp)
+                    os.replace(tmp, dst)
+                except OSError:
+                    import shutil
+                    shutil.copy2(src, dst)
         except OSError:
             if not os.path.exists(dst):   # e.g. FS without hardlinks
                 import shutil
@@ -192,9 +225,7 @@ def _merge_bucket(group: pa.Table, *, state_dir: str, epoch: int,
                 return 0
         due = sum(_size(r) for r in runs) >= compact_min_bytes
     if runs and due:
-        parts = ([_read_rel(state_dir, base_file)] if base_file else []) + \
-                [_read_rel(state_dir, r) for r in runs]
-        merged = merge_sorted_runs(parts).sort_by(
+        merged = _read_committed(state_dir, base_file, runs).sort_by(
             [("repo", "ascending"), ("path", "ascending")])
         superseded = ([base_file] if base_file else []) + runs
         base_file = f"data/bucket={bucket:05d}/base-{epoch:05d}.parquet"
@@ -235,10 +266,18 @@ def _bootstrap_bucket(group: pa.Table, *, state_dir: str, epoch: int) -> pa.Tabl
     bucket = int(group.column("bucket")[0].as_py())
     m = load_manifest(state_dir, bucket)
     if m is not None and m.epoch >= epoch:
+        # report the ORIGINAL commit's counts (reconstructed from the
+        # persisted stats), not zeros — a crash-resumed bootstrap would
+        # otherwise under-count 'applied' in the epoch-0 lineage record
+        # (the same retry-stats law _merge_bucket pins via last_epoch_stats)
+        stt = m.stats or {}
+        rows = (stt.get("upserts", 0) + stt.get("deletes", 0)
+                + stt.get("skipped_stale", 0))
         return pa.table({"bucket": pa.array([bucket], pa.int32()),
-                         "rows": pa.array([0], pa.int64()),
+                         "rows": pa.array([rows], pa.int64()),
                          "live": pa.array([m.row_count], pa.int64()),
-                         "deletes": pa.array([0], pa.int64()),
+                         "deletes": pa.array([stt.get("deletes", 0)],
+                                             pa.int64()),
                          "max_lsn": pa.array([m.last_applied_lsn], pa.int64())})
     fresh = reduce_lww(group).sort_by(
         [("repo", "ascending"), ("path", "ascending")])
@@ -260,7 +299,8 @@ def _bootstrap_bucket(group: pa.Table, *, state_dir: str, epoch: int) -> pa.Tabl
 
 
 class _ReadBucket:
-    """Actor-pool stage: merge-on-read of one committed bucket per input row."""
+    """Task-pool UDF (instance): merge-on-read of one committed bucket per
+    input row."""
 
     def __init__(self, state_dir: str, with_sha: bool):
         self.state_dir = state_dir
@@ -284,9 +324,7 @@ class _ReadBucket:
             m = load_manifest(self.state_dir, int(b))
             if m is None:
                 continue
-            parts = ([_read_rel(self.state_dir, m.base_file)] if m.base_file else []) + \
-                    [_read_rel(self.state_dir, r) for r in m.runs]
-            merged = merge_sorted_runs(parts)
+            merged = _read_committed(self.state_dir, m.base_file, m.runs)
             if merged is None:
                 continue
             t = drop_tombstones(merged)
@@ -451,7 +489,9 @@ class _ReadBucketAsOf:
 
     def __init__(self, state_dir: str, epoch: int, with_sha: bool):
         self.state_dir, self.epoch, self.with_sha = state_dir, epoch, with_sha
-        self.schema = CdcEngine.load_schema(state_dir)
+        # reuse _ReadBucket's typed-empty logic (and its loaded schema)
+        # instead of re-reading schema.bin per empty batch
+        self._base = _ReadBucket(state_dir, with_sha)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -470,7 +510,7 @@ class _ReadBucketAsOf:
             drop = [c for c in ("bucket", "__key") if c in t.column_names]
             out.append(t.drop_columns(drop))
         if not out:
-            return _ReadBucket(self.state_dir, self.with_sha)._empty()
+            return self._base._empty()
         return pa.concat_tables(out, promote_options="permissive")
 
 
@@ -610,13 +650,14 @@ class CdcEngine:
         (persisted marker — see __init__)."""
         return os.path.exists(os.path.join(state_dir, "retain_changelog.json"))
 
-    @staticmethod
-    def _default_concurrency() -> tuple[int, int]:
-        """Size the actor pool to the cluster (Ray is already initialised by
-        the driver). Autoscaling (min, max) lets the streaming executor shrink
-        the pool when a stage is not the bottleneck."""
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        return (1, max(2, cpus))
+    def _norm_opts(self) -> dict:
+        """map_batches kwargs for the normalize stage: by default the task
+        pool runs at Ray's own parallelism; ``normalize_concurrency`` (int
+        or (min, max)) caps it — e.g. to bound memory or leave room for a
+        co-tenant pipeline on a shared cluster."""
+        if self.normalize_concurrency is None:
+            return {}
+        return {"concurrency": self.normalize_concurrency}
 
     # ---- schema persistence -------------------------------------------
     def _schema_path(self) -> str:
@@ -721,7 +762,8 @@ class CdcEngine:
             NormalizeEvents(target_schema=target, num_buckets=self.num_buckets,
                             evolution=self.evolution,
                             bucket_hash=self.bucket_hash),
-            batch_format="pyarrow", batch_size=self.normalize_batch_size)
+            batch_format="pyarrow", batch_size=self.normalize_batch_size,
+            **self._norm_opts())
         write = functools.partial(_bootstrap_bucket, state_dir=self.state_dir,
                                   epoch=0)
         st = (norm.groupby("bucket").map_groups(write, batch_format="pyarrow")
@@ -798,6 +840,7 @@ class CdcEngine:
                             bucket_hash=self.bucket_hash),
             batch_format="pyarrow",
             batch_size=self.normalize_batch_size,
+            **self._norm_opts(),
         )
 
     def _merge_epoch(self, norm: "ray.data.Dataset", files: list[str],
@@ -826,6 +869,21 @@ class CdcEngine:
         self._commit_epoch(rec)
         return rec
 
+    @staticmethod
+    def _pending_files(files: list[str], done: list[dict]
+                       ) -> tuple[list[str], list[str]]:
+        """THE file-set resume predicate replay and tail share (a drift
+        between two copies would let the tail grouping decision disagree
+        with the actual skip decision). Paths normalize to realpath;
+        committed records match on BOTH the raw recorded string and its
+        realpath — records written by pre-normalization revisions may hold
+        relative paths that realpath differently under another CWD (worst
+        case is duplicated work, which LWW keeps correct)."""
+        files = [os.path.realpath(f) for f in files]
+        applied = {f for rec in done for f in rec.get("files", [])}
+        applied |= {os.path.realpath(f) for f in applied}
+        return files, [f for f in files if f not in applied]
+
     def replay(self, files: list[str], epoch_size: int | None = None,
                fail_after_epoch: int | None = None) -> ReplayResult:
         """Replay ``files`` in order, grouped into epochs; resumes from lineage.
@@ -840,19 +898,9 @@ class CdcEngine:
         # each epoch's file list, so files already applied are skipped even if
         # the caller's grouping differs from the original run's (e.g. a tail
         # session interleaved with one-shot replays, or late-arriving files
-        # that sort before already-applied ones). Paths are normalized so a
-        # restart spelling events_dir differently (relative vs absolute,
-        # through a symlink) cannot re-apply committed files as new epochs.
-        # Migration caveat: records written by pre-normalization revisions may
-        # hold relative paths that realpath differently under another CWD, so
-        # match on BOTH the raw recorded string and its realpath — a resumed
-        # run from a new directory then still recognizes committed files
-        # whenever either spelling lines up (worst case is duplicated work,
-        # which LWW keeps correct).
-        files = [os.path.realpath(f) for f in files]
-        applied = {f for rec in done for f in rec.get("files", [])}
-        applied |= {os.path.realpath(f) for f in applied}
-        pending = [f for f in files if f not in applied]
+        # that sort before already-applied ones). Normalization/matching
+        # rules live in _pending_files — the ONE predicate tail shares.
+        files, pending = self._pending_files(files, done)
         result = ReplayResult(epochs=list(done))
         groups = [pending[i:i + epoch_size]
                   for i in range(0, len(pending), epoch_size)]
@@ -1005,11 +1053,9 @@ class CdcEngine:
 
         idle = 0
         while idle < max_idle_polls:
-            files = sorted(os.path.realpath(f)
-                           for f in _glob.glob(os.path.join(events_dir, pattern)))
-            applied = {os.path.realpath(f) for rec in self.committed_epochs()
-                       for f in rec.get("files", [])}
-            pending = [f for f in files if f not in applied]
+            _, pending = self._pending_files(
+                sorted(_glob.glob(os.path.join(events_dir, pattern))),
+                self.committed_epochs())
             ready = pending[:len(pending) // epoch_size * epoch_size]
             if not ready:
                 idle += 1
@@ -1057,9 +1103,7 @@ class CdcEngine:
                 m = load_manifest(state_dir, int(b))
                 if m is None or (not m.runs and gc is None):
                     continue
-                parts = ([_read_rel(state_dir, m.base_file)] if m.base_file else []) + \
-                        [_read_rel(state_dir, r) for r in m.runs]
-                merged = merge_sorted_runs(parts)
+                merged = _read_committed(state_dir, m.base_file, m.runs)
                 n_purged = 0
                 if merged is not None and gc is not None:
                     is_tomb = pc.is_null(merged.column("content"))
@@ -1176,18 +1220,20 @@ class CdcEngine:
         # under v2 with a byte-identical final table (pinned in pytest)
         new_recipe = new_eng.bucket_hash
 
-        # the empty-batch fallback must carry the FULL stored-row schema —
-        # a bucket-only block would give the groupby shuffle inconsistent
-        # block schemas (the 'RefBundle with a different schema' hazard the
-        # _empty() helpers exist for). Probe one committed file's footer.
-        probe_schema = None
+        # Every block this stage emits must carry ONE schema: buckets whose
+        # state was compacted at different schema epochs can have drifted
+        # footers (a later epoch added a column), and the groupby shuffle
+        # must not see inconsistent block schemas (the 'RefBundle with a
+        # different schema' hazard). Unify ALL committed footers up front
+        # (metadata-only reads) and cast every merged table — and the
+        # empty-batch fallback — to the unified stored schema.
+        footers = []
         for m in manifests.values():
-            rel = m.base_file or (m.runs[0] if m.runs else None)
-            if rel is not None:
-                probe_schema = pq.read_schema(os.path.join(src_dir, rel))
-                break
-        if probe_schema is None:
+            for rel in ([m.base_file] if m.base_file else []) + list(m.runs):
+                footers.append(pq.read_schema(os.path.join(src_dir, rel)))
+        if not footers:
             return new_eng   # every bucket is empty — nothing to move
+        stored_schema = pa.unify_schemas(footers, promote_options="permissive")
 
         def rebucket(batch: pa.Table) -> pa.Table:
             out = []
@@ -1195,11 +1241,15 @@ class CdcEngine:
                 m = load_manifest(src_dir, int(b))
                 if m is None:
                     continue
-                parts = ([_read_rel(src_dir, m.base_file)] if m.base_file else []) + \
-                        [_read_rel(src_dir, r) for r in m.runs]
-                merged = merge_sorted_runs(parts)
+                merged = _read_committed(src_dir, m.base_file, m.runs)
                 if merged is None:
                     continue
+                # conform to the unified stored schema (missing -> nulls)
+                arrays = [merged.column(f.name).cast(f.type)
+                          if f.name in merged.column_names
+                          else pa.nulls(merged.num_rows, f.type)
+                          for f in stored_schema]
+                merged = pa.Table.from_arrays(arrays, schema=stored_schema)
                 nb = pa.array(bucket_of_keys(key_column(merged), new_num_buckets,
                                              new_recipe),
                               pa.int32())
@@ -1207,8 +1257,8 @@ class CdcEngine:
                     merged.schema.get_field_index("bucket"), "bucket", nb)
                 out.append(merged)
             if not out:
-                return probe_schema.empty_table()
-            return pa.concat_tables(out, promote_options="permissive")
+                return stored_schema.empty_table()
+            return pa.concat_tables(out, promote_options="none")
 
         def write_new_bucket(group: pa.Table) -> pa.Table:
             bucket = int(group.column("bucket")[0].as_py())

@@ -303,12 +303,19 @@ class NormalizeEvents:
             raise ValueError(
                 f"malformed change events: null values in key/commit "
                 f"columns {bad} (of {t.num_rows} rows in batch)")
-        lsn_col = parse_lsn(t["commit"])
-        if lsn_col.null_count:
+        # validate BEFORE casting: pc.cast raises an uncounted ArrowInvalid
+        # on non-digits, and a short all-digit commit ('7') would otherwise
+        # silently parse to a tiny LSN that loses every LWW conflict —
+        # count-and-raise here instead (the fail-loud M15 law)
+        ok = pc.match_substring_regex(t["commit"], r"^[0-9]{12}")
+        n_bad = ok.length() - pc.sum(ok).as_py()
+        if n_bad:
+            first = t["commit"].filter(pc.invert(ok))[0].as_py()
             raise ValueError(
-                f"malformed change events: {lsn_col.null_count} commits "
-                "with unparseable LSN prefix")
-        t = t.append_column("lsn", lsn_col)
+                f"malformed change events: {n_bad} commits without a "
+                f"12-digit LSN prefix (first: {first!r}) "
+                f"(of {t.num_rows} rows in batch)")
+        t = t.append_column("lsn", parse_lsn(t["commit"]))
         keys = key_column(t)
         # NOTE: the combined key is NOT appended as a column — it would
         # duplicate repo+path (~13% of every byte the shuffle and the LSM

@@ -179,3 +179,33 @@ def test_reshard_carries_bootstrap_cut_and_refuses_asof(
     pd.testing.assert_frame_equal(got, want)
     with pytest.raises(ValueError, match="retain_changelog"):
         new.dataset_as_of(0)
+
+
+def test_bootstrap_bucket_retry_reports_original_counts(
+        corpus, snapshot_and_cut, tmp_path, ray_session):
+    """A Ray retry of an already-committed bootstrap bucket must report the
+    ORIGINAL commit's counts, not zeros (the same retry-stats law
+    _merge_bucket pins via last_epoch_stats) — a crash-resumed bootstrap
+    would otherwise under-count 'applied' in the epoch-0 lineage record."""
+    import pyarrow as pa
+
+    from oregonwaterdataportal_etl_ray.cdc.engine import _bootstrap_bucket
+    from oregonwaterdataportal_etl_ray.cdc.merge import (NormalizeEvents,
+                                                         parse_lsn)
+    from oregonwaterdataportal_etl_ray.cdc.schema import (EvolutionSpec,
+                                                          plan_target_schema)
+
+    snap, _ = snapshot_and_cut
+    state = str(tmp_path / "state")
+    files = corpus["files"][:1]
+    target = plan_target_schema(files, EvolutionSpec())
+    ne = NormalizeEvents(target, num_buckets=4)
+    batch = ne(pa.Table.from_pandas(snap.head(200), preserve_index=False)
+               .cast(target))
+    one = batch.filter(pa.compute.equal(batch["bucket"], batch["bucket"][0]))
+
+    first = _bootstrap_bucket(one, state_dir=state, epoch=0)
+    retry = _bootstrap_bucket(one, state_dir=state, epoch=0)
+    for col in ("rows", "live", "deletes", "max_lsn"):
+        assert retry[col][0].as_py() == first[col][0].as_py(), col
+    assert first["rows"][0].as_py() == one.num_rows

@@ -446,3 +446,44 @@ def test_poly_hash_vectorized_matches_properties():
     # bucket spread: no bucket of 64 takes more than 4x its fair share
     b = h1 % np.uint64(64)
     assert np.bincount(b.astype(np.int64), minlength=64).max() < 4 * len(keys) / 64
+
+
+def test_reshard_with_schema_drift_across_buckets(corpus, tmp_path, ray_session):
+    """Buckets compacted at different schema epochs can carry drifted
+    footers (a later epoch added a column). Reshard must unify up front and
+    emit ONE block schema into its shuffle — not feed the groupby
+    inconsistent blocks — and the resharded table must still match the
+    oracle (the new column flows through as nulls)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from oregonwaterdataportal_etl_ray.state.manifest import atomic_write_table
+
+    files = sorted(corpus["files"])
+    state = str(tmp_path / "drift")
+    eng = CdcEngine(state, num_buckets=8, compact_every=2)
+    eng.replay(files[:4], epoch_size=1)
+
+    # simulate drift: ONE bucket's committed state gains an extra column
+    m = next(m for m in eng.lineage().values() if m.base_file)
+    p = os.path.join(state, m.base_file)
+    t = pq2.read_table(p)
+    t = t.append_column("review_state", pa.nulls(t.num_rows, pa.string()))
+    atomic_write_table(p, t)
+
+    new_eng = eng.reshard(str(tmp_path / "drift_new"), new_num_buckets=16)
+    final = new_eng.final_table().to_pandas() \
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    want = oracle_replay(files[:4]).sort_values(["repo", "path"]) \
+        .reset_index(drop=True)
+    assert list(final["sha256"]) == list(want["sha256"])
+    assert list(final["lsn"]) == list(want["lsn"])
+    # the drifted column survived the move (unified, null-filled elsewhere)
+    merged_cols = set()
+    for nm in new_eng.lineage().values():
+        if nm.base_file:
+            merged_cols |= set(pq2.read_schema(
+                os.path.join(str(tmp_path / "drift_new"), nm.base_file)).names)
+    assert "review_state" in merged_cols

@@ -222,3 +222,45 @@ def test_cli_reshard_and_changelog_modes(corpus, tmp_path, ray_session):
     a = new_eng.final_table(with_sha=False).to_pandas()
     b = eng.final_table(with_sha=False).to_pandas()
     assert list(a["lsn"]) == list(b["lsn"])
+
+
+def test_archive_collision_replaces_stale_precommit_leftover(
+        corpus, tmp_path, ray_session):
+    """The crash-window corner the hardlink protocol alone cannot cover:
+    archival ran, the manifest commit did NOT, and on resume the same epoch
+    number was reassigned to different content. The stale archived bytes
+    were never committed anywhere, so a later archive of the same epoch
+    must REPLACE them (keeping them would pin never-committed rows in the
+    changelog once the live run is compacted away)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from oregonwaterdataportal_etl_ray.cdc.engine import _archive_runs
+    from oregonwaterdataportal_etl_ray.state.manifest import atomic_write_table
+
+    state = str(tmp_path / "s_coll")
+    os.makedirs(f"{state}/data/bucket=00003", exist_ok=True)
+    rel = "data/bucket=00003/run-00007.parquet"
+
+    t_stale = pa.table({"repo": ["crashed"], "path": ["p"],
+                        "lsn": pa.array([1], pa.int64())})
+    atomic_write_table(os.path.join(state, rel), t_stale)
+    _archive_runs(state, [rel])              # crashed attempt archived...
+    os.unlink(os.path.join(state, rel))      # ...but never committed
+
+    t_new = pa.table({"repo": ["committed"], "path": ["p"],
+                      "lsn": pa.array([2], pa.int64())})
+    atomic_write_table(os.path.join(state, rel), t_new)
+    _archive_runs(state, [rel])              # epoch reused on resume
+
+    dst = os.path.join(state, "changelog", "bucket=00003",
+                       "run-00007.parquet")
+    got = pq2.read_table(dst)
+    assert got["repo"].to_pylist() == ["committed"]   # stale bytes replaced
+    assert os.path.samefile(os.path.join(state, rel), dst)  # hardlinked
+
+    # and a plain retry of the SAME (now-linked) run stays a no-op
+    _archive_runs(state, [rel])
+    assert pq2.read_table(dst)["repo"].to_pylist() == ["committed"]
