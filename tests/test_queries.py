@@ -68,3 +68,25 @@ def test_entry_smoke(entry_mod):
     df = _to_pandas(res)
     assert len(df) > 0
     assert "event_type" in df.columns and "n_keys" in df.columns
+
+
+def test_registry_consistency():
+    """Every oracle has a query, every bench-battery name resolves, and no
+    rows-only query accidentally shadows an oracle-backed one — the typo
+    class that silently drops an entry from the driver's gate."""
+    import importlib.util
+    import os
+
+    from oregonwaterdataportal_etl_ray.pipelines.queries import (
+        ORACLE_SQL, QUERIES)
+
+    assert set(ORACLE_SQL) <= set(QUERIES)
+    assert len(QUERIES) >= 86 and len(ORACLE_SQL) >= 71
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing = [n for n in bench.BATTERY if n not in QUERIES]
+    assert missing == [], missing
