@@ -135,6 +135,9 @@ class EmbedNearDup:
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _matrix(batch[self.vec_col]).astype(np.float64)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:       # (0, 0) matrix can't matmul the broadcast side
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
         sims = mn @ self.all_norm.T               # (n_batch, N_all)
         hit = (sims >= self.tau) & (ids[:, None] < self.all_ids[None, :])
@@ -191,6 +194,9 @@ class IVFAssign:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # (0, 0) matrix can't matmul the centroids
+            return batch.append_column("ivf_cell",
+                                       pa.array([], pa.int32()))
         cells = self.index.cell_of(_matrix(batch[self.vec_col]))
         return batch.append_column("ivf_cell", pa.array(cells))
 
@@ -231,6 +237,9 @@ class HyperplaneLSH:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # (0, 0) matrix can't matmul the planes
+            return batch.append_column("lsh_bucket",
+                                       pa.array([], pa.int64()))
         m = _matrix(batch[self.vec_col])
         bits = (m @ self.planes) > 0
         bucket = (bits.astype(np.uint64) * self.weights[None, :]).sum(axis=1)

@@ -60,8 +60,11 @@ class TTLCache:
         self._d.move_to_end(key)
         return val, True
 
-    def put(self, key, val) -> None:
-        self._d[key] = (time.monotonic(), val)
+    def put(self, key, val, age_s: float = 0.0) -> None:
+        """``age_s``: back-date the entry (an L2 hit promoted into L1 keeps
+        its ORIGINAL age, or the stage's staleness bound would double to
+        ~2x ttl: expire in L1 at t=ttl-eps, re-fetch from L2, re-stamp)."""
+        self._d[key] = (time.monotonic() - age_s, val)
         self._d.move_to_end(key)
         while len(self._d) > self.max_entries:
             self._d.popitem(last=False)
@@ -82,13 +85,16 @@ class _SharedCacheImpl:
         serve a stage entries older than that stage's own TTL (otherwise an
         L1-expired key would be re-served stale from the shared layer and
         re-promoted with a fresh TTL, unboundedly)."""
+        now = time.monotonic()
         out = []
         for k in keys:
             v, ok = self.cache.get(k, max_age_s=max_age_s)
-            out.append(v if ok else None)
             if ok:
+                age = now - self.cache._d[k][0]
+                out.append((v, age))
                 self.hits += 1
             else:
+                out.append(None)
                 self.misses += 1
         return out
 
@@ -169,10 +175,14 @@ class CachedFetchStage:
             l2 = dict(zip(need, self._shared_get(need)))
             still: list[int] = []
             for i in missing_idx:
-                v = l2.get(keys[i])
-                if v is not None:
+                got = l2.get(keys[i])
+                if got is not None:
+                    v, age = got
                     vals[i], hit[i] = v, True
-                    self.cache.put(keys[i], v)   # promote into L1
+                    # promote into L1 at its ORIGINAL age, so the stage's
+                    # ttl_s stays the total staleness bound (a fresh stamp
+                    # would let the value live ~2x ttl across the layers)
+                    self.cache.put(keys[i], v, age_s=age)
                 else:
                     still.append(i)
             missing_idx = still

@@ -235,23 +235,15 @@ class BandExploder:
 
 
 def bucket_pairs(group: pa.Table, id_col: str = "doc_id", max_bucket: int = 200) -> pa.Table:
-    """All id pairs inside one (band_id, band_hash) bucket (candidate dups).
-
-    Buckets larger than ``max_bucket`` are truncated (logged via the
-    oversized flag) — at web scale a giant bucket means a degenerate band
-    (e.g. empty docs) and quadratic pair-gen must be bounded."""
-    ids = np.unique(group[id_col].to_numpy(zero_copy_only=False))
-    if len(ids) < 2:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "oversized": pa.array([], pa.bool_())})
-    over = len(ids) > max_bucket
-    if over:
-        ids = ids[:max_bucket]
-    i, j = np.triu_indices(len(ids), k=1)
-    return pa.table({"id_a": pa.array(ids[i], pa.int64()),
-                     "id_b": pa.array(ids[j], pa.int64()),
-                     "oversized": pa.array(np.full(len(i), over))})
+    """All id pairs inside ONE bucket (candidate dups) — a thin wrapper over
+    :func:`pairs_in_partition` with a constant group key, so the two can
+    never drift on the truncation policy (max_bucket smallest ids, the
+    ``oversized`` flag). The partition kernel is the one the pipelines run;
+    this single-bucket form remains for tests and ad-hoc use."""
+    const = pa.array(np.zeros(group.num_rows, np.int32))
+    t = pa.table({id_col: group[id_col], "__g": const})
+    return pairs_in_partition(t, id_col=id_col, group_cols=("__g",),
+                              max_bucket=max_bucket)
 
 
 def _segment_pairs(seg_sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

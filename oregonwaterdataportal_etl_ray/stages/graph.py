@@ -114,13 +114,25 @@ def _collapse_stars(group: pa.Table) -> pa.Table:
 
 
 def _compose(group: pa.Table) -> pa.Table:
-    """One rep-bucket: rewrite mapping reps through this round's label map."""
+    """One rep-bucket: rewrite mapping reps through this round's label map.
+    Int-preserving: Series.map + fillna would round-trip labels through
+    float64 and corrupt ids >= 2^53 (hash-derived 64-bit doc ids are the
+    normal case at corpus scale) — remap via searchsorted on int64."""
     df = group.to_pandas()
-    lut = df[df["kind"] == _MAP].set_index("node")["lbl"]
+    lut = df[df["kind"] == _MAP]
     m = df[df["kind"] == _EDGE]  # here _EDGE tags accumulated-mapping rows
-    new = m["lbl"].map(lut).fillna(m["lbl"]).astype(np.int64)
+    keys = lut["node"].to_numpy(np.int64)
+    vals = lut["lbl"].to_numpy(np.int64)
+    order = np.argsort(keys, kind="stable")
+    keys, vals = keys[order], vals[order]
+    lbl = m["lbl"].to_numpy(np.int64)
+    pos = np.searchsorted(keys, lbl)
+    pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+    hit = (len(keys) > 0) & (keys[pos_c] == lbl) if len(keys) else \
+        np.zeros(len(lbl), bool)
+    new = np.where(hit, vals[pos_c] if len(keys) else 0, lbl)
     return pa.table({"node": m["node"].to_numpy(np.int64),
-                     "component": new.to_numpy(np.int64)})
+                     "component": new.astype(np.int64)})
 
 
 def connected_components(edges: "ray.data.Dataset", src_col: str = "id_a",

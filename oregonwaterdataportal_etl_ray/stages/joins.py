@@ -48,6 +48,10 @@ class BroadcastLookup:
         self.stream_key = stream_key
         self.take_cols = take_cols
         self.on_miss = on_miss
+        # the lookup side's Arrow types, resolved once per actor: output
+        # columns must keep them even when a batch has misses (see __call__)
+        self._types = {c: pa.Array.from_pandas(self.lookup[c]).type
+                       for c in take_cols}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch.column(self.stream_key).to_pandas()
@@ -65,8 +69,15 @@ class BroadcastLookup:
             keep = keys.isin(self.lookup.index).values
             batch = batch.filter(pa.array(keep))
             sub = sub[keep]
+        # from_pandas=True: a miss must become a typed Arrow NULL, not a
+        # float64 NaN — pandas reindex upcasts int64 columns with misses to
+        # float64 whose NaN Arrow would store as a NON-null double (silent
+        # dtype drift + IS NULL misses). Restore the lookup side's dtype.
         for c in self.take_cols:
-            batch = batch.append_column(c, pa.array(sub[c].values))
+            arr = pa.array(sub[c], from_pandas=True)
+            if arr.type != self._types[c]:
+                arr = arr.cast(self._types[c])
+            batch = batch.append_column(c, arr)
         return batch
 
 

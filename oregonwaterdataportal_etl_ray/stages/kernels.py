@@ -31,7 +31,11 @@ def _key_codes(t: pa.Table, key_cols: list[str]) -> np.ndarray:
     keys form one well-defined group (SQL GROUP BY treats nulls as equal)
     instead of NaN indices silently casting to an undefined int, and (b) in
     composite keys (x, NULL) and (y, NULL) stay DISTINCT groups (the join
-    kernel would otherwise null the whole composite when any part is null)."""
+    kernel would otherwise null the whole composite when any part is null).
+    Composite encoding is INJECTIVE: each component is length-prefixed (the
+    same recipe as cdc.merge.key_column's v2 key), so keys whose values
+    contain the separator byte — ('a\\x1fb', 'c') vs ('a', 'b\\x1fc') —
+    stay distinct groups instead of silently merging."""
     _NULL = _NULL_KEY
     if len(key_cols) == 1:
         key = t.column(key_cols[0])
@@ -44,7 +48,9 @@ def _key_codes(t: pa.Table, key_cols: list[str]) -> np.ndarray:
             col = t.column(c)
             if not pa.types.is_string(col.type):
                 col = pc.cast(col, pa.string())
-            parts.append(pc.fill_null(col, _NULL))
+            col = pc.fill_null(col, _NULL)
+            parts.append(pc.binary_join_element_wise(
+                pc.cast(pc.utf8_length(col), pa.string()), col, "\x1f"))
         key = pc.binary_join_element_wise(*parts, "\x1f")
     enc = pc.dictionary_encode(key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key)
     if isinstance(enc, pa.ChunkedArray):
@@ -52,12 +58,33 @@ def _key_codes(t: pa.Table, key_cols: list[str]) -> np.ndarray:
     return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
-def _order_arrays(t: pa.Table, order_cols: list[str]) -> list[np.ndarray]:
+def _order_arrays(t: pa.Table, order_cols: list[str],
+                  nulls_lose_for: str = "last") -> list[np.ndarray]:
+    """Order columns as numpy arrays with EXPLICIT null semantics: a null
+    order value LOSES to any real value in both kernels (an LWW row with a
+    missing timestamp must never beat a real observation — the raw
+    to_numpy path converted nullable ints to float64, where NaN lexsorts
+    LAST i.e. GREATEST, silently inverting that; float64 also corrupts
+    int64 order values past 2^53). ``nulls_lose_for``: "last" fills nulls
+    with the type's minimum (keep_last takes the max), "first" with its
+    maximum."""
+    lose_min = nulls_lose_for == "last"
     out = []
     for c in order_cols:
         col = t.column(c)
         if pa.types.is_timestamp(col.type):
             col = pc.cast(col, pa.int64())
+        if col.null_count:
+            if pa.types.is_integer(col.type):
+                info = np.iinfo(col.type.to_pandas_dtype())
+                col = pc.fill_null(col, info.min if lose_min else info.max)
+            elif pa.types.is_floating(col.type):
+                col = pc.fill_null(col, -np.inf if lose_min else np.inf)
+            else:
+                # strings: "" sorts first; \U0010FFFF-run sorts after any
+                # realistic value
+                col = pc.fill_null(
+                    col, "" if lose_min else "\U0010FFFF" * 8)
         out.append(col.to_numpy(zero_copy_only=False))
     return out
 
@@ -67,7 +94,7 @@ def keep_last_by(t: pa.Table, key_cols: list[str], order_cols: list[str]) -> pa.
     if t.num_rows <= 1:
         return t
     codes = _key_codes(t, key_cols)
-    orders = _order_arrays(t, order_cols)
+    orders = _order_arrays(t, order_cols, nulls_lose_for="last")
     # np.lexsort sorts by last key first -> pass (minor..major, codes last)
     sort_keys = tuple(reversed(orders)) + (codes,)
     order = np.lexsort(sort_keys)
@@ -83,7 +110,7 @@ def keep_first_by(t: pa.Table, key_cols: list[str], order_cols: list[str]) -> pa
     if t.num_rows <= 1:
         return t
     codes = _key_codes(t, key_cols)
-    orders = _order_arrays(t, order_cols)
+    orders = _order_arrays(t, order_cols, nulls_lose_for="first")
     sort_keys = tuple(reversed(orders)) + (codes,)
     order = np.lexsort(sort_keys)
     sorted_codes = codes[order]

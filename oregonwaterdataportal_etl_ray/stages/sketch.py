@@ -199,11 +199,20 @@ def hll_rows(t: pa.Table, group_col: str, key_col: str,
              p: int = HLL_P) -> pa.Table:
     """map_batches combiner: one 2^p-byte register blob per group per batch."""
     import pandas as pd
+    import pyarrow.compute as pc
     if t.num_rows == 0:
         # typed empty partial: a zero-row block (empty file / empty shuffle
         # partition) must not infer a null group column or index into ks[0]
         return pa.table({group_col: t[group_col].combine_chunks(),
                          "hll_regs": pa.array([], pa.binary())})
+    # SQL COUNT(DISTINCT key) EXCLUDES null keys: drop them before hashing
+    # (pd.util.hash_array would hash None to one deterministic value and
+    # count it as a distinct member — off-by-one vs the oracle)
+    if t[key_col].null_count:
+        t = t.filter(pc.is_valid(t[key_col]))
+        if t.num_rows == 0:
+            return pa.table({group_col: t[group_col].combine_chunks(),
+                             "hll_regs": pa.array([], pa.binary())})
     codes, kvals = _group_codes(t[group_col])
     hashed = pd.util.hash_array(t[key_col].to_numpy(zero_copy_only=False))
     order = np.argsort(codes, kind="stable")

@@ -84,9 +84,17 @@ class QualityScore:
         # round half-away-from-zero (= SQL ROUND), not np.round's half-even —
         # the oracle replicates this formula in DuckDB digit for digit
         r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731 (x >= 0 here)
+        # NULL text must propagate as typed NULLs (SQL NULL arithmetic), not
+        # as a non-null NaN score / 0.0 ratio — NaN orders and compares
+        # differently from NULL and would silently break oracle parity
+        valid = (~np.asarray(pc.is_null(t).combine_chunks()
+                             if isinstance(t, pa.ChunkedArray)
+                             else pc.is_null(t)))
         out = batch.append_column("n_stopwords", n_stop)
-        out = out.append_column("alpha_ratio", pa.array(r6(alpha_ratio)))
-        out = out.append_column("quality_score", pa.array(r6(score)))
+        out = out.append_column(
+            "alpha_ratio", pa.array(r6(alpha_ratio), mask=~valid))
+        out = out.append_column(
+            "quality_score", pa.array(r6(score), mask=~valid))
         return out
 
 

@@ -42,12 +42,26 @@ def user_bucketer(key: str = "user_id", num_buckets: int | None = None):
 def _sorted_keys(t: pa.Table, key: str, ts: str, tiebreak: str):
     """Lexsort one bucket's rows by (key, ts, tiebreak). NULL timestamps
     order LAST (DuckDB's ORDER BY default for ASC) — NaT would otherwise
-    cast to int64 min and make a user's null-ts rows their EARLIEST."""
-    k = t.column(key).to_numpy(zero_copy_only=False)
+    cast to int64 min and make a user's null-ts rows their EARLIEST.
+    NULL keys form ONE partition (SQL PARTITION BY semantics): the SORT
+    runs on a sentinel-filled copy (np.lexsort raises TypeError on str/None
+    compares), while the RETURNED key array keeps the original values —
+    segment-boundary != comparisons handle None fine (None != None is
+    False), and downstream output must carry NULL, not the sentinel."""
+    kc = t.column(key)
+    k = kc.to_numpy(zero_copy_only=False)
+    if kc.null_count:
+        from .kernels import _NULL_KEY
+        import pyarrow.compute as pc
+        k_sort = pc.fill_null(
+            kc if pa.types.is_string(kc.type) else pc.cast(kc, pa.string()),
+            _NULL_KEY).to_numpy(zero_copy_only=False)
+    else:
+        k_sort = k
     s = t.column(ts).to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
     s = np.where(s == np.iinfo(np.int64).min, np.iinfo(np.int64).max, s)
     tb = t.column(tiebreak).to_numpy(zero_copy_only=False)
-    order = np.lexsort((tb, s, k))
+    order = np.lexsort((tb, s, k_sort))
     return order, k[order], s[order]
 
 

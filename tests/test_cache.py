@@ -208,3 +208,31 @@ def test_shared_cache_honors_stage_ttl():
     assert out["cache_hit"].to_pylist() == [False]   # L2 did NOT serve stale
     assert out["payload"].to_pylist()[0] != first    # genuinely refetched
     assert calls["n"] == 2
+
+
+def test_l2_promotion_preserves_entry_age():
+    """The staleness bound stays ONE ttl across both layers: an L2 hit
+    promoted into L1 keeps its ORIGINAL age (a fresh stamp would let the
+    value live ~2x ttl: expire in L1, re-fetch from L2, restart the clock)."""
+    import ray
+
+    from oregonwaterdataportal_etl_ray.stages.cache import shared_cache
+
+    calls = {"n": 0}
+
+    def fetch(keys):
+        calls["n"] += len(keys)
+        return [f"v{calls['n']}".encode() for _ in keys]
+
+    l2 = shared_cache()
+    stage = CachedFetchStage(fetch, key_col="url", ttl_s=0.3, shared=l2)
+    stage(_batch(["u"]))                      # t=0: fetched, both layers
+    ray.get(l2.stats.remote())
+    time.sleep(0.15)
+    del stage.cache._d["u"]                   # force an L1 miss at t=0.15
+    out = stage(_batch(["u"]))                # L2 hit, promoted at age 0.15
+    assert out["cache_hit"].to_pylist() == [True] and calls["n"] == 1
+    time.sleep(0.2)                           # t=0.35 > ttl from ORIGINAL t0
+    out2 = stage(_batch(["u"]))
+    assert out2["cache_hit"].to_pylist() == [False]   # truly refetched
+    assert calls["n"] == 2

@@ -824,3 +824,69 @@ def test_null_group_keys_do_not_crash_grouped_queries(ray_session, monkeypatch):
     nulls = budget[budget["source"].isna()]
     assert sorted(nulls["doc_id"]) == [4, 5]          # NULL restored, not a
     assert set(nulls["cum_chars"]) == {10, 20}        # sentinel string
+
+
+def test_stage_null_and_edge_hardening(ray_session):
+    """Regression block for the round-4 stages review (each verified by
+    execution before the fix):
+      - a NULL order value LOSES the LWW in both kernels (NaN used to sort
+        greatest and beat every real timestamp), and int64 orders past 2^53
+        keep exact precision (no float64 round-trip);
+      - composite group keys are INJECTIVE under embedded separators;
+      - empty batches pass through EmbedNearDup / IVFAssign / HyperplaneLSH;
+      - window kernels accept NULL keys (one SQL-style partition, NULL
+        preserved in output);
+      - BroadcastLookup misses become typed NULLs, not float64 NaN;
+      - QualityScore propagates NULL text as NULL score/ratio."""
+    import numpy as np
+    import ray
+
+    from oregonwaterdataportal_etl_ray.stages.ann import (EmbedNearDup,
+                                                          HyperplaneLSH)
+    from oregonwaterdataportal_etl_ray.stages.joins import BroadcastLookup
+    from oregonwaterdataportal_etl_ray.stages.window import lag_group
+
+    # LWW null-order + 2^53 precision
+    t = pa.table({"k": ["a", "a"], "ts": pa.array([1000, None], pa.int64()),
+                  "v": [1, 2]})
+    assert keep_last_by(t, ["k"], ["ts"])["v"].to_pylist() == [1]
+    assert keep_first_by(t, ["k"], ["ts"])["v"].to_pylist() == [1]
+    big = pa.table({"k": ["a", "a"],
+                    "ts": pa.array([2 ** 53 + 1, 2 ** 53], pa.int64()),
+                    "v": [1, 2]})
+    assert keep_last_by(big, ["k"], ["ts"])["v"].to_pylist() == [1]
+
+    # composite-key injectivity under embedded \x1f
+    comp = pa.table({"k1": ["a\x1fb", "a"], "k2": ["c", "b\x1fc"],
+                     "o": [1, 2], "v": [1, 2]})
+    assert keep_last_by(comp, ["k1", "k2"], ["o"]).num_rows == 2
+
+    # ANN stages on empty blocks
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "embedding": pa.array([], pa.list_(pa.float32()))})
+    end = EmbedNearDup({"ids": np.array([5], np.int64),
+                        "matrix": np.eye(1, 2)}, tau=0.4)
+    assert end(empty).num_rows == 0
+    assert HyperplaneLSH(dim=2)(empty).num_rows == 0
+
+    # window kernel with NULL keys
+    w = pa.table({"user_id": pa.array(["u", None, "u", None], pa.string()),
+                  "ts": pa.array([1, 2, 3, 4], pa.timestamp("us")),
+                  "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "value": pa.array([1.0, 2.0, 3.0, 4.0])})
+    lag = lag_group(w).to_pandas().sort_values("event_id")
+    assert lag["prev_value"].tolist()[2] == 1.0     # u chain
+    assert lag["prev_value"].tolist()[3] == 2.0     # NULL partition chain
+    assert lag["user_id"].isna().sum() == 2         # NULL preserved
+
+    # typed-null lookup misses
+    lk = pd.DataFrame({"k": ["a"], "n": pd.array([10], dtype="int64")}) \
+        .set_index("k")
+    out = BroadcastLookup(lk, stream_key="k", take_cols=["n"])(
+        pa.table({"k": pa.array(["a", "zz"])}))
+    assert str(out.schema.field("n").type) == "int64"
+    assert out["n"].to_pylist() == [10, None]
+
+    # NULL text -> NULL score
+    qs = QualityScore()(pa.table({"text": pa.array(["hi", None], pa.string())}))
+    assert qs["quality_score"].to_pylist()[1] is None
