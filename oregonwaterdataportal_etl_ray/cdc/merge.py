@@ -276,10 +276,19 @@ class NormalizeEvents:
     def __init__(self, target_schema: pa.Schema, num_buckets: int,
                  evolution: EvolutionSpec | None = None,
                  watermarks: dict[int, int] | None = None,
-                 bucket_hash: int = BUCKET_HASH_DEFAULT):
+                 bucket_hash: int = BUCKET_HASH_DEFAULT,
+                 quarantine: bool = False):
         self.target = target_schema
         self.num_buckets = num_buckets
         self.bucket_hash = bucket_hash
+        # quarantine=True: malformed rows (null key/commit components,
+        # commits without a parseable LSN prefix) are ROUTED instead of
+        # raised — they get lsn=-1, bucket=num_buckets (one past the real
+        # buckets, so they ride the same single shuffle) and a ``_qreason``
+        # column; the merge side writes them to the dead-letter table and
+        # never lets them near the LSM state. Default stays fail-loud (the
+        # reference's strict-validator law, M15).
+        self.quarantine = quarantine
         self.evolution = evolution or EvolutionSpec()
         if watermarks:
             wm = np.zeros(num_buckets, dtype=np.int64)
@@ -291,30 +300,54 @@ class NormalizeEvents:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = conform_batch(batch, self.target, self.evolution)
-        # Fail-loud validation (the reference's strict-validator law, M15):
-        # null PK components or null/unparseable commits must surface HERE
-        # with counts, not corrupt the merge — a null key would
-        # dictionary-encode to an INT64_MIN code (IndexError in bucketing,
-        # silent collapse in the reduce) and a null LSN would WIN LWW
-        # (NaN sorts last in lexsort).
-        bad = {c: t.column(c).null_count for c in ("repo", "path", "commit")
-               if t.column(c).null_count}
-        if bad:
-            raise ValueError(
-                f"malformed change events: null values in key/commit "
-                f"columns {bad} (of {t.num_rows} rows in batch)")
-        # validate BEFORE casting: pc.cast raises an uncounted ArrowInvalid
-        # on non-digits, and a short all-digit commit ('7') would otherwise
-        # silently parse to a tiny LSN that loses every LWW conflict —
-        # count-and-raise here instead (the fail-loud M15 law)
-        ok = pc.match_substring_regex(t["commit"], r"^[0-9]{12}")
-        n_bad = ok.length() - pc.sum(ok).as_py()
-        if n_bad:
-            first = t["commit"].filter(pc.invert(ok))[0].as_py()
-            raise ValueError(
-                f"malformed change events: {n_bad} commits without a "
-                f"12-digit LSN prefix (first: {first!r}) "
-                f"(of {t.num_rows} rows in batch)")
+        quarantined: pa.Table | None = None
+        if not self.quarantine:
+            # Fail-loud validation (the reference's strict-validator law,
+            # M15): null PK components or null/unparseable commits must
+            # surface HERE with counts, not corrupt the merge — a null key
+            # would dictionary-encode to an INT64_MIN code (IndexError in
+            # bucketing, silent collapse in the reduce) and a null LSN
+            # would WIN LWW (NaN sorts last in lexsort).
+            bad = {c: t.column(c).null_count for c in ("repo", "path", "commit")
+                   if t.column(c).null_count}
+            if bad:
+                raise ValueError(
+                    f"malformed change events: null values in key/commit "
+                    f"columns {bad} (of {t.num_rows} rows in batch)")
+            # validate BEFORE casting: pc.cast raises an uncounted
+            # ArrowInvalid on non-digits, and a short all-digit commit ('7')
+            # would otherwise silently parse to a tiny LSN that loses every
+            # LWW conflict — count-and-raise here instead (the M15 law)
+            ok = pc.match_substring_regex(t["commit"], r"^[0-9]{12}")
+            n_bad = ok.length() - pc.sum(ok).as_py()
+            if n_bad:
+                first = t["commit"].filter(pc.invert(ok))[0].as_py()
+                raise ValueError(
+                    f"malformed change events: {n_bad} commits without a "
+                    f"12-digit LSN prefix (first: {first!r}) "
+                    f"(of {t.num_rows} rows in batch)")
+        else:
+            # Dead-letter routing: split the batch vectorized, never raise.
+            # Same two malformation classes the fail-loud path counts.
+            nulls = pc.or_(pc.or_(pc.is_null(t["repo"]), pc.is_null(t["path"])),
+                           pc.is_null(t["commit"]))
+            ok = pc.fill_null(
+                pc.match_substring_regex(t["commit"], r"^[0-9]{12}"), False)
+            is_bad = pc.or_(nulls, pc.invert(ok))
+            n_bad = pc.sum(pc.cast(is_bad, pa.int64())).as_py() or 0
+            if n_bad:
+                reasons = pc.if_else(nulls,
+                                     pa.scalar("null_key_or_commit"),
+                                     pa.scalar("unparseable_lsn_prefix"))
+                bad_t = t.filter(is_bad)
+                quarantined = (
+                    bad_t
+                    .append_column("lsn", pa.array(
+                        np.full(n_bad, -1, np.int64)))
+                    .append_column("bucket", pa.array(
+                        np.full(n_bad, self.num_buckets, np.int32)))
+                    .append_column("_qreason", reasons.filter(is_bad)))
+                t = t.filter(pc.invert(is_bad))
         t = t.append_column("lsn", parse_lsn(t["commit"]))
         keys = key_column(t)
         # NOTE: the combined key is NOT appended as a column — it would
@@ -331,9 +364,18 @@ class NormalizeEvents:
                 t = t.filter(pa.array(keep))
                 codes, lsn = codes[keep], lsn[keep]
         winners = _lww_mask(codes, lsn)
-        if winners is None:
+        if winners is not None:
+            t = t.take(pa.array(np.sort(winners)))
+        if not self.quarantine:
             return t
-        return t.take(pa.array(np.sort(winners)))
+        # dead-letter mode: every emitted row carries the (almost always
+        # null) _qreason column so good and quarantined rows share one
+        # schema through the single shuffle — a null string column costs
+        # one validity bitmap, nothing more
+        t = t.append_column("_qreason", pa.nulls(t.num_rows, pa.string()))
+        if quarantined is None:
+            return t
+        return pa.concat_tables([t, quarantined]) if t.num_rows else quarantined
 
 
 def merge_sorted_runs(tables: list[pa.Table]) -> pa.Table | None:

@@ -58,7 +58,8 @@ def _engine(args):
                      evolution=EvolutionSpec(renames=renames) if renames else None,
                      compact_every=args.compact_every,
                      retain_changelog=retain,
-                     compact_min_bytes=getattr(args, "compact_min_bytes", None))
+                     compact_min_bytes=getattr(args, "compact_min_bytes", None),
+                     quarantine=getattr(args, "quarantine", False))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -82,6 +83,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="size-tiered compaction: also fold a bucket's runs "
                          "when their total bytes reach this threshold "
                          "(default: run-count trigger only)")
+    rp.add_argument("--quarantine", action="store_true",
+                    help="route malformed events (null key/commit, "
+                         "unparseable LSN) to the dead-letter table under "
+                         "state-dir/quarantine/ instead of failing the run")
 
     bp = sub.add_parser("bootstrap", help="initial snapshot full-load: write "
                         "the current table state (parquet dir, one row per "
@@ -183,11 +188,14 @@ def main(argv: list[str] | None = None) -> int:
             print(f"no .parquet batch files under {args.events_dir}", file=sys.stderr)
             return 2
         res = eng.replay(files, epoch_size=args.epoch_size)
-        print(json.dumps({
+        out = {
             "epochs": len(res.epochs), "applied": res.n_applied,
             "upserts": res.n_upserts, "deletes": res.n_deletes,
             "skipped_stale": res.n_skipped,
-        }))
+        }
+        if args.quarantine:
+            out["quarantined"] = res.n_quarantined
+        print(json.dumps(out))
     elif args.cmd == "bootstrap":
         import ray
         snap = ray.data.read_parquet(sorted(
