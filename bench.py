@@ -43,6 +43,7 @@ EVENTS_CACHE = "/tmp/graft_bench/events"
 BATTERY = [
     "q1_pricing_summary",
     "cdc_current_state",
+    "patch_current_state",
     "latest_event_per_user",
     "three_table_join",
     "broadcast_enrich",

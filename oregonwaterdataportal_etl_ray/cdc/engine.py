@@ -60,6 +60,7 @@ from ..state.manifest import (
 )
 from .merge import (BUCKET_HASH_DEFAULT, BUCKET_HASH_SIPHASH, NormalizeEvents,
                     drop_tombstones, merge_sorted_runs, reduce_lww)
+from .patch import RESET_COL, fold_epoch_events, fold_patch_runs
 from .schema import EvolutionSpec, conform_schema, plan_target_schema
 
 # serializes lazy read-plan builds across prefetch threads (see _normalized)
@@ -82,14 +83,18 @@ def _read_rel(state_dir: str, rel: str) -> pa.Table:
 
 
 def _read_committed(state_dir: str, base_file: str | None,
-                    runs: list[str]) -> pa.Table | None:
+                    runs: list[str], strategy: str = "lww") -> pa.Table | None:
     """THE merge-on-read recipe — the single definition every committed-state
     reader shares (_ReadBucket, compaction inside _merge_bucket, compact(),
-    reshard): [base] + runs, LWW-merged. If the assembly of committed state
-    ever changes (pruning, layout, tolerance), it changes HERE for every
-    reader at once."""
+    reshard): [base] + runs (epoch-ascending), merged per the dir's
+    strategy — LWW row replace, or the patch column-level fold
+    (cdc/patch.py). If the assembly of committed state ever changes
+    (pruning, layout, tolerance), it changes HERE for every reader at
+    once."""
     parts = ([_read_rel(state_dir, base_file)] if base_file else []) + \
             [_read_rel(state_dir, r) for r in runs]
+    if strategy == "patch":
+        return fold_patch_runs(parts)
     return merge_sorted_runs(parts)
 
 
@@ -183,7 +188,8 @@ def _quarantine_epoch(group: pa.Table, *, state_dir: str, epoch: int) -> pa.Tabl
 def _merge_bucket(group: pa.Table, *, state_dir: str, epoch: int,
                   compact_every: int, retain_changelog: bool = False,
                   compact_min_bytes: int | None = None,
-                  quarantine_bucket: int | None = None) -> pa.Table:
+                  quarantine_bucket: int | None = None,
+                  strategy: str = "lww") -> pa.Table:
     """Merge one bucket's epoch delta against its committed LSM state.
 
     Exactly-once under Ray task retry: (1) a manifest already at-or-past
@@ -215,21 +221,33 @@ def _merge_bucket(group: pa.Table, *, state_dir: str, epoch: int,
                           deletes=0, skipped_stale=group.num_rows,
                           last_applied_lsn=m.last_applied_lsn, committed=False)
 
-    # LWW collapse of this epoch's delta. No per-row LSN filter here: the
+    # Collapse of this epoch's delta. No per-row LSN filter here: the
     # merge is idempotent (a stale or duplicate row loses to the committed
     # winner), and out-of-order rows may legitimately carry LSNs below the
     # bucket's max — exactly-once comes from the epoch-level manifest check
     # above, not from dropping rows. Tombstones are RETAINED in the LSM state
     # so a late stale upsert can never resurrect a deleted key; they are
-    # dropped only at read time.
-    fresh = reduce_lww(group)
+    # dropped only at read time. Under strategy='patch' the collapse is the
+    # column-level fold (cdc/patch.py): one patch row per key, last non-null
+    # value per column since the key's last delete within the epoch.
+    if strategy == "patch":
+        fresh = fold_epoch_events(group)
+    else:
+        fresh = reduce_lww(group)
     n_stale = group.num_rows - fresh.num_rows
 
     stats = dict(m.stats) if m.stats else {"upserts": 0, "deletes": 0, "skipped_stale": 0}
     runs = list(m.runs)
     if fresh.num_rows:
         fresh = fresh.sort_by([("repo", "ascending"), ("path", "ascending")])
-        n_del = fresh.column("content").null_count
+        if strategy == "patch":
+            # a patch run row is a delete only when the epoch's fold ended
+            # in a reset with nothing re-set on top of it
+            n_del = pc.sum(pc.and_(fresh.column(RESET_COL),
+                                   pc.is_null(fresh.column("content")))
+                           ).as_py() or 0
+        else:
+            n_del = fresh.column("content").null_count
         n_up = fresh.num_rows - n_del
         rel = f"data/bucket={bucket:05d}/run-{epoch:05d}.parquet"
         atomic_write_table(os.path.join(state_dir, rel), fresh)
@@ -256,7 +274,7 @@ def _merge_bucket(group: pa.Table, *, state_dir: str, epoch: int,
                 return 0
         due = sum(_size(r) for r in runs) >= compact_min_bytes
     if runs and due:
-        merged = _read_committed(state_dir, base_file, runs).sort_by(
+        merged = _read_committed(state_dir, base_file, runs, strategy).sort_by(
             [("repo", "ascending"), ("path", "ascending")])
         superseded = ([base_file] if base_file else []) + runs
         base_file = f"data/bucket={bucket:05d}/base-{epoch:05d}.parquet"
@@ -337,13 +355,22 @@ class _ReadBucket:
         self.state_dir = state_dir
         self.with_sha = with_sha
         self.schema = CdcEngine.load_schema(state_dir)
+        self.strategy = CdcEngine.persisted_merge_strategy(state_dir)
+
+    def _dropped(self) -> tuple:
+        """Columns never surfaced to readers: shuffle/state metadata, plus
+        patch-strategy internals (``op`` is consumed by the fold; ``_reset``
+        is LSM state). Under lww, ``op`` stays — there it is ordinary user
+        data."""
+        base = ("bucket", "__key")
+        return base + (("op", RESET_COL) if self.strategy == "patch" else ())
 
     def _empty(self) -> pa.Table:
         """Typed empty table carrying the known output schema — a 0-column
         block would give downstream blocks an inconsistent schema (Ray's
         'RefBundle with a different schema' warning)."""
         fields = [f for f in (self.schema or pa.schema([]))
-                  if f.name != "bucket"]
+                  if f.name not in self._dropped()]
         fields.append(pa.field("lsn", pa.int64()))
         if self.with_sha:
             fields.append(pa.field("sha256", pa.string()))
@@ -355,7 +382,8 @@ class _ReadBucket:
             m = load_manifest(self.state_dir, int(b))
             if m is None:
                 continue
-            merged = _read_committed(self.state_dir, m.base_file, m.runs)
+            merged = _read_committed(self.state_dir, m.base_file, m.runs,
+                                     self.strategy)
             if merged is None:
                 continue
             t = drop_tombstones(merged)
@@ -364,7 +392,7 @@ class _ReadBucket:
             # state dirs written before the __key column was removed from the
             # shuffle still carry it in base/run files; drop defensively so a
             # pre-change state dir can't leak a null-padded __key into output
-            drop = [c for c in ("bucket", "__key") if c in t.column_names]
+            drop = [c for c in self._dropped() if c in t.column_names]
             out.append(t.drop_columns(drop))
         if not out:
             return self._empty()
@@ -565,7 +593,8 @@ class CdcEngine:
                  normalize_batch_size: int = 128 * 1024,
                  retain_changelog: bool = False,
                  compact_min_bytes: int | None = None,
-                 quarantine: bool = False):
+                 quarantine: bool = False,
+                 merge_strategy: str | None = None):
         self.state_dir = state_dir
         self.num_buckets = num_buckets
         self.evolution = evolution or EvolutionSpec()
@@ -597,7 +626,9 @@ class CdcEngine:
         # that forgets the flag (e.g. a bare `cli compact`) would otherwise
         # unlink the delta runs and irreversibly break changelog/as-of
         # reads. The marker lets callers auto-detect (retention_enabled).
-        if retain_changelog:
+        if retain_changelog and merge_strategy != "patch":
+            # (patch + retain refuses below, before the marker could poison
+            # a later construction over the same dir)
             p = os.path.join(state_dir, "retain_changelog.json")
             if not os.path.exists(p):
                 atomic_write_bytes(p, b'{"retain_changelog": true}')
@@ -615,6 +646,35 @@ class CdcEngine:
         self.bucket_hash = (BUCKET_HASH_DEFAULT if layout is None
                             else int(layout.get("bucket_hash",
                                                 BUCKET_HASH_SIPHASH)))
+        # The merge strategy is STATE-DEFINING persisted layout (lww run
+        # files hold whole-row winners; patch run files hold column deltas
+        # + _reset — reading one under the other contract silently corrupts
+        # the merge): a dir keeps the strategy it was built with; an
+        # explicit conflicting request refuses loudly; merge_strategy=None
+        # adopts the persisted value (fresh dirs default to lww).
+        persisted_ms = (None if layout is None
+                        else layout.get("merge_strategy", "lww"))
+        if merge_strategy is not None and merge_strategy not in ("lww", "patch"):
+            raise ValueError(f"unknown merge_strategy {merge_strategy!r} "
+                             "(expected 'lww' or 'patch')")
+        if persisted_ms is None:
+            self.merge_strategy = merge_strategy or "lww"
+        elif merge_strategy is not None and merge_strategy != persisted_ms:
+            raise ValueError(
+                f"state dir {state_dir!r} was built with merge_strategy="
+                f"{persisted_ms!r}, got {merge_strategy!r}; the strategy is "
+                "fixed at dir creation (rebuild by replaying from the event "
+                "log to change it)")
+        else:
+            self.merge_strategy = persisted_ms
+        if self.merge_strategy == "patch" and self.retain_changelog:
+            raise NotImplementedError(
+                "retain_changelog is not supported under "
+                "merge_strategy='patch': archived delta runs hold column "
+                "PATCHES, so per-epoch change rows / time travel would need "
+                "a fold-aware changelog reader (not implemented); run a "
+                "second lww engine over the same event log for a change "
+                "stream")
         if persisted is None:
             # A dir with persisted bucket state but NO layout.json predates
             # layout persistence — i.e. it was written with the v1
@@ -642,7 +702,8 @@ class CdcEngine:
             atomic_write_bytes(self._layout_path(state_dir),
                                json.dumps({"num_buckets": num_buckets,
                                            "key_encoding": 2,
-                                           "bucket_hash": self.bucket_hash
+                                           "bucket_hash": self.bucket_hash,
+                                           "merge_strategy": self.merge_strategy
                                            }).encode())
         elif persisted != num_buckets:
             raise ValueError(
@@ -682,6 +743,21 @@ class CdcEngine:
         :meth:`persisted_layout`)."""
         layout = cls.persisted_layout(state_dir)
         return None if layout is None else int(layout["num_buckets"])
+
+    @classmethod
+    def persisted_merge_strategy(cls, state_dir: str) -> str:
+        """The merge strategy this state dir was built with ('lww' for
+        fresh/pre-strategy dirs — patch shipped with the layout field, so
+        an absent field can only mean lww)."""
+        layout = cls.persisted_layout(state_dir)
+        return "lww" if layout is None else layout.get("merge_strategy", "lww")
+
+    def _require_lww(self, what: str) -> None:
+        if self.merge_strategy == "patch":
+            raise NotImplementedError(
+                f"{what} is not supported under merge_strategy='patch' "
+                "(it needs per-epoch whole-row deltas; patch runs hold "
+                "column patches)")
 
     @staticmethod
     def retention_enabled(state_dir: str) -> bool:
@@ -776,6 +852,8 @@ class CdcEngine:
         with committed manifests short-circuit (exactly-once, same
         discipline as the merge path). Returns the number of live rows
         loaded."""
+        self._require_lww("bootstrap (snapshot rows carry no 'op' column; "
+                          "load the snapshot as epoch-0 'u' events instead)")
         if self.committed_epochs() or os.path.exists(self._bootstrap_path()):
             raise ValueError(
                 "bootstrap requires a fresh state dir (it is the initial "
@@ -877,7 +955,8 @@ class CdcEngine:
             NormalizeEvents(target_schema=target, num_buckets=self.num_buckets,
                             evolution=self.evolution, watermarks=watermarks,
                             bucket_hash=self.bucket_hash,
-                            quarantine=self.quarantine),
+                            quarantine=self.quarantine,
+                            strategy=self.merge_strategy),
             batch_format="pyarrow",
             batch_size=self.normalize_batch_size,
             **self._norm_opts(),
@@ -893,7 +972,8 @@ class CdcEngine:
                                   compact_min_bytes=self.compact_min_bytes,
                                   quarantine_bucket=(self.num_buckets
                                                      if self.quarantine
-                                                     else None))
+                                                     else None),
+                                  strategy=self.merge_strategy)
         # Sort-based groupby shuffle on the int32 bucket column. Measured
         # against ShuffleStrategy.HASH_SHUFFLE at 5M events: the sort exchange
         # costs <1 core-sec per epoch vs ~70 core-sec for the hash-aggregator
@@ -1147,6 +1227,7 @@ class CdcEngine:
             return 0
         state_dir = self.state_dir
         retain = self.retain_changelog
+        strategy = self.merge_strategy
 
         def compact_batch(batch: pa.Table) -> pa.Table:
             done = []
@@ -1154,7 +1235,8 @@ class CdcEngine:
                 m = load_manifest(state_dir, int(b))
                 if m is None or (not m.runs and gc is None):
                     continue
-                merged = _read_committed(state_dir, m.base_file, m.runs)
+                merged = _read_committed(state_dir, m.base_file, m.runs,
+                                         strategy)
                 n_purged = 0
                 if merged is not None and gc is not None:
                     is_tomb = pc.is_null(merged.column("content"))
@@ -1249,7 +1331,8 @@ class CdcEngine:
                             normalize_concurrency=self.normalize_concurrency,
                             normalize_batch_size=self.normalize_batch_size,
                             retain_changelog=self.retain_changelog,
-                            compact_min_bytes=self.compact_min_bytes)
+                            compact_min_bytes=self.compact_min_bytes,
+                            merge_strategy=self.merge_strategy)
         if schema is not None:
             new_eng.save_schema(schema)
         if os.path.exists(self._bootstrap_path()):
@@ -1263,6 +1346,7 @@ class CdcEngine:
             return new_eng
 
         src_dir, dst_dir = self.state_dir, new_state_dir
+        strategy = self.merge_strategy
         from .merge import bucket_of_keys, key_column
         # placement in the NEW dir follows the NEW engine's persisted recipe
         # (a fresh dst dir gets the current default) — so reshard doubles as
@@ -1292,7 +1376,8 @@ class CdcEngine:
                 m = load_manifest(src_dir, int(b))
                 if m is None:
                     continue
-                merged = _read_committed(src_dir, m.base_file, m.runs)
+                merged = _read_committed(src_dir, m.base_file, m.runs,
+                                         strategy)
                 if merged is None:
                     continue
                 # conform to the unified stored schema (missing -> nulls)
@@ -1405,6 +1490,7 @@ class CdcEngine:
         with ``retain_changelog=True``; otherwise only not-yet-compacted
         epochs are visible (documented tradeoff, same as a short binlog
         retention window)."""
+        self._require_lww("changelog_dataset")
         manifests = load_all_manifests(self.state_dir)
         ds = ray.data.from_items([{"bucket": b} for b in sorted(manifests)])
         return ds.map_batches(_ReadChangelog(self.state_dir, lo, hi),
@@ -1450,6 +1536,7 @@ class CdcEngine:
         is local), computes value-diffs vectorized after one (key, epoch)
         sort, and pre-aggregates to one row per (repo, epoch) — the only
         shuffle is the final groupby over O(repos × epochs) rows."""
+        self._require_lww("view_deltas")
         manifests = self._require_retained_deltas("view deltas")
         from ray.data.aggregate import Sum
         ds = ray.data.from_items([{"bucket": b} for b in sorted(manifests)])
@@ -1470,6 +1557,7 @@ class CdcEngine:
         compact-without-archive, even when changelog retention is enabled
         later in the state dir's life), with the no-changelog-dir heuristic
         kept as a fallback for manifests written before the flag existed."""
+        self._require_lww("dataset_as_of")
         manifests = self._require_retained_deltas("as-of reads")
         ds = ray.data.from_items([{"bucket": b} for b in sorted(manifests)])
         return ds.map_batches(_ReadBucketAsOf(self.state_dir, epoch, with_sha),

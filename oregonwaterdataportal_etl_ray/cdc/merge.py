@@ -277,10 +277,20 @@ class NormalizeEvents:
                  evolution: EvolutionSpec | None = None,
                  watermarks: dict[int, int] | None = None,
                  bucket_hash: int = BUCKET_HASH_DEFAULT,
-                 quarantine: bool = False):
+                 quarantine: bool = False,
+                 strategy: str = "lww"):
         self.target = target_schema
         self.num_buckets = num_buckets
         self.bucket_hash = bucket_hash
+        # strategy="patch": events carry an ``op`` column ('u'/'d', see
+        # cdc/patch.py) and the block-level LWW combine is SKIPPED — a
+        # patch fold keeps one LSN per folded row, not per column, so two
+        # block-partials of the same key cannot be re-merged correctly when
+        # their LSNs interleave; the single full fold happens per bucket in
+        # the merge stage instead. The shuffle therefore moves raw events
+        # under patch (vs winners-per-block under lww) — the price of
+        # column-level merge, documented in cdc/patch.py.
+        self.strategy = strategy
         # quarantine=True: malformed rows (null key/commit components,
         # commits without a parseable LSN prefix) are ROUTED instead of
         # raised — they get lsn=-1, bucket=num_buckets (one past the real
@@ -300,6 +310,16 @@ class NormalizeEvents:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = conform_batch(batch, self.target, self.evolution)
+        op_ok = None
+        if self.strategy == "patch":
+            # config error, not a data error: never quarantined
+            if "op" not in t.column_names:
+                raise ValueError(
+                    "merge_strategy='patch' requires an 'op' column "
+                    "('u' = partial upsert, 'd' = delete) in the change "
+                    f"events; got columns {t.column_names}")
+            op_ok = pc.fill_null(
+                pc.is_in(t["op"], value_set=pa.array(["u", "d"])), False)
         quarantined: pa.Table | None = None
         if not self.quarantine:
             # Fail-loud validation (the reference's strict-validator law,
@@ -326,19 +346,31 @@ class NormalizeEvents:
                     f"malformed change events: {n_bad} commits without a "
                     f"12-digit LSN prefix (first: {first!r}) "
                     f"(of {t.num_rows} rows in batch)")
+            if op_ok is not None:
+                n_bad_op = op_ok.length() - (pc.sum(op_ok).as_py() or 0)
+                if n_bad_op:
+                    first = t["op"].filter(pc.invert(op_ok))[0].as_py()
+                    raise ValueError(
+                        f"malformed change events: {n_bad_op} rows with op "
+                        f"outside {{'u','d'}} (first: {first!r}) "
+                        f"(of {t.num_rows} rows in batch)")
         else:
             # Dead-letter routing: split the batch vectorized, never raise.
-            # Same two malformation classes the fail-loud path counts.
+            # Same malformation classes the fail-loud path counts.
             nulls = pc.or_(pc.or_(pc.is_null(t["repo"]), pc.is_null(t["path"])),
                            pc.is_null(t["commit"]))
             ok = pc.fill_null(
                 pc.match_substring_regex(t["commit"], r"^[0-9]{12}"), False)
             is_bad = pc.or_(nulls, pc.invert(ok))
+            if op_ok is not None:
+                is_bad = pc.or_(is_bad, pc.invert(op_ok))
             n_bad = pc.sum(pc.cast(is_bad, pa.int64())).as_py() or 0
             if n_bad:
-                reasons = pc.if_else(nulls,
-                                     pa.scalar("null_key_or_commit"),
-                                     pa.scalar("unparseable_lsn_prefix"))
+                reasons = pc.if_else(
+                    nulls, pa.scalar("null_key_or_commit"),
+                    pc.if_else(pc.invert(ok),
+                               pa.scalar("unparseable_lsn_prefix"),
+                               pa.scalar("invalid_op")))
                 bad_t = t.filter(is_bad)
                 quarantined = (
                     bad_t
@@ -363,9 +395,10 @@ class NormalizeEvents:
             if not keep.all():
                 t = t.filter(pa.array(keep))
                 codes, lsn = codes[keep], lsn[keep]
-        winners = _lww_mask(codes, lsn)
-        if winners is not None:
-            t = t.take(pa.array(np.sort(winners)))
+        if self.strategy != "patch":  # see __init__: patch folds per bucket
+            winners = _lww_mask(codes, lsn)
+            if winners is not None:
+                t = t.take(pa.array(np.sort(winners)))
         if not self.quarantine:
             return t
         # dead-letter mode: every emitted row carries the (almost always

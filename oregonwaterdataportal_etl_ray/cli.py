@@ -59,7 +59,8 @@ def _engine(args):
                      compact_every=args.compact_every,
                      retain_changelog=retain,
                      compact_min_bytes=getattr(args, "compact_min_bytes", None),
-                     quarantine=getattr(args, "quarantine", False))
+                     quarantine=getattr(args, "quarantine", False),
+                     merge_strategy=getattr(args, "merge_strategy", None))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -83,6 +84,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="size-tiered compaction: also fold a bucket's runs "
                          "when their total bytes reach this threshold "
                          "(default: run-count trigger only)")
+    rp.add_argument("--merge-strategy", choices=["lww", "patch"], default=None,
+                    help="merge contract for a FRESH state dir: lww (whole-"
+                         "row last-writer-wins, default) or patch (column-"
+                         "level partial upserts via an 'op' column; see "
+                         "cdc/patch.py). Existing dirs keep the strategy "
+                         "they were built with")
     rp.add_argument("--quarantine", action="store_true",
                     help="route malformed events (null key/commit, "
                          "unparseable LSN) to the dead-letter table under "

@@ -1,1 +1,2 @@
-from .events import generate_change_events, GeneratorSpec  # noqa: F401
+from .events import (GeneratorSpec, generate_change_events,  # noqa: F401
+                     generate_patch_events)

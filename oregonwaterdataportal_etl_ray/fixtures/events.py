@@ -154,3 +154,71 @@ def generate_change_events(out_dir: str, spec: GeneratorSpec) -> dict:
         "n_repos": spec.n_repos,
         "spec": spec,
     }
+
+
+def generate_patch_events(out_dir: str, spec: GeneratorSpec) -> dict:
+    """Partial-update (patch) change stream for merge_strategy='patch'
+    (cdc/patch.py): same key/commit recipe as F1 plus an ``op`` column
+    ('u'/'d'); a 'u' row leaves each value column null (= UNCHANGED) with
+    fixed probability, a 'd' row carries no values. Disorder is strictly
+    INTRA-batch (rows shuffled within their batch file only) and duplicates
+    are intra-batch verbatim re-deliveries — matching the patch strategy's
+    documented per-key epoch-ordered delivery contract for ANY epoch
+    grouping of whole files."""
+    rng = np.random.default_rng(spec.seed)
+    n = spec.n_events
+    ranks = np.arange(1, spec.n_repos + 1, dtype=np.float64)
+    w = ranks ** -spec.zipf_s
+    w /= w.sum()
+    repo_id = rng.choice(spec.n_repos, size=n, p=w)
+    path_id = rng.integers(0, spec.paths_per_repo, size=n)
+    is_delete = rng.random(n) < spec.delete_rate
+    has_content = (rng.random(n) < 0.6) & ~is_delete
+    has_lang = (rng.random(n) < 0.5) & ~is_delete
+    batch_rows = -(-n // spec.n_batches)
+
+    os.makedirs(out_dir, exist_ok=True)
+    files = []
+    n_dups_total = 0
+    for b in range(spec.n_batches):
+        lo, hi = b * batch_rows, min((b + 1) * batch_rows, n)
+        if lo >= hi:
+            break
+        idx = np.arange(lo, hi)
+        rng.shuffle(idx)  # intra-batch disorder only
+        lsn = idx + 1
+        r_id, p_id = repo_id[idx], path_id[idx]
+        repo = pc.binary_join_element_wise(
+            pa.scalar("org"), _string(r_id // 10), pa.scalar("/repo-"),
+            _string(r_id), "")
+        lang_all = np.array(LANGS)[p_id % len(LANGS)]
+        path = pc.binary_join_element_wise(
+            pa.scalar("src/pkg_"), _string(p_id // 8), pa.scalar("/mod_"),
+            _string(p_id), pa.scalar("."), _string(lang_all), "")
+        commit = pc.binary_join_element_wise(
+            pc.utf8_lpad(_string(lsn), 12, "0"),
+            _string(_hex8((lsn * 2654435761) % (1 << 32))), "-")
+        body = pc.binary_join_element_wise(
+            pa.scalar("patch|"), repo, pa.scalar("|"), path,
+            pa.scalar("|v"), _string(lsn), "")
+        content = pc.if_else(pa.array(has_content[idx]), body,
+                             pa.scalar(None, pa.string()))
+        lang = pc.if_else(pa.array(has_lang[idx]), _string(lang_all),
+                          pa.scalar(None, pa.string()))
+        op = pc.if_else(pa.array(is_delete[idx]), pa.scalar("d"),
+                        pa.scalar("u"))
+        chunk = pa.table({"repo": repo, "path": path, "commit": commit,
+                          "op": op, "lang": lang, "content": content})
+        n_dups = int((hi - lo) * spec.dup_rate)
+        if n_dups:
+            dup_idx = rng.integers(0, hi - lo, size=n_dups)
+            chunk = pa.concat_tables([chunk, chunk.take(pa.array(dup_idx))])
+            perm = rng.permutation(chunk.num_rows)
+            chunk = chunk.take(pa.array(perm))
+            n_dups_total += n_dups
+        fp = os.path.join(out_dir, f"batch-{b:04d}.parquet")
+        pq.write_table(chunk, fp)
+        files.append(fp)
+    return {"files": files, "n_logical_events": n,
+            "n_delivered": n + n_dups_total, "n_duplicates": n_dups_total,
+            "spec": spec}

@@ -907,6 +907,71 @@ def cdc_current_state(sf_dir: str):
                             "current_value": t["value"]}), batch_format="pyarrow")
 
 
+@_q("patch_current_state", """
+WITH p AS (
+  SELECT user_id, event_id,
+         (event_type = 'error') AS is_reset,
+         CASE WHEN event_type IN ('click','purchase') THEN value END AS val_patch,
+         CASE WHEN event_type = 'view' THEN props END AS props_patch
+  FROM events),
+d AS (SELECT user_id, max(event_id) AS del_id FROM p WHERE is_reset GROUP BY user_id)
+SELECT p.user_id,
+       max_by(p.val_patch, p.event_id) FILTER (WHERE p.val_patch IS NOT NULL) AS last_value,
+       max_by(p.props_patch, p.event_id) FILTER (WHERE p.props_patch IS NOT NULL) AS last_props,
+       count(*) FILTER (WHERE p.is_reset) > 0 AS was_reset,
+       max(p.event_id) AS last_event_id
+FROM p LEFT JOIN d USING (user_id)
+WHERE p.event_id >= coalesce(d.del_id, -1)
+GROUP BY p.user_id
+""")
+def patch_current_state(sf_dir: str):
+    """Column-level partial-update fold — the engine's patch merge strategy
+    (cdc/patch.py; the reference's field-by-field paginated-response merge,
+    /root/reference/userCode/groundwater/wells.py:347-378, generalized) as
+    a query: synthesize a patch stream from the events table ('error' =
+    delete/reset; 'click'/'purchase' patch ``value``; 'view' patches
+    ``props``; anything else leaves both unchanged) and fold per user to
+    the last non-null value per column since the last reset. One bucket
+    shuffle; per-bucket fold is the engine's own vectorized kernel."""
+    from ..cdc.patch import fold_patch
+    from ..stages.window import user_bucketer
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "event_type",
+                             "value", "props"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "is_reset": pc.equal(et, "error"),
+            "val_patch": pc.if_else(
+                pc.is_in(et, value_set=pa.array(["click", "purchase"])),
+                t["value"], pa.scalar(None, pa.float64())),
+            "props_patch": pc.if_else(pc.equal(et, "view"), t["props"],
+                                      pa.scalar(None, pa.string())),
+        })
+
+    def fold_group(t: pa.Table) -> pa.Table:
+        codes = t.column("user_id").to_numpy(zero_copy_only=False)
+        order = t.column("event_id").to_numpy(zero_copy_only=False)
+        reset_col = t.column("is_reset")
+        if isinstance(reset_col, pa.ChunkedArray):
+            reset_col = reset_col.combine_chunks()
+        reset = reset_col.to_numpy(zero_copy_only=False)
+        out = fold_patch(t.drop_columns(["__bucket", "is_reset"]),
+                         codes, order, reset,
+                         ["val_patch", "props_patch"],
+                         reset_carries_values=False)
+        return out.rename_columns(
+            ["user_id", "last_event_id", "last_value", "last_props",
+             "was_reset"])
+
+    return (ds.map_batches(derive, batch_format="pyarrow")
+              .map_batches(user_bucketer(), batch_format="pyarrow")
+              .groupby("__bucket")
+              .map_groups(fold_group, batch_format="pyarrow"))
+
+
 # ===========================================================================
 # windows / sessions / explode
 # ===========================================================================
