@@ -168,6 +168,22 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--compact-every", type=int, default=4)
     sp.add_argument("--rename", action="append", metavar="OLD=NEW")
 
+    dp = sub.add_parser("stage-debezium", help="convert Debezium envelope "
+                        "JSONL files (before/after/op/source.lsn) to "
+                        "canonical parquet change batches replay can consume "
+                        "(file order and names preserved, so file-set resume "
+                        "carries over)")
+    dp.add_argument("--jsonl-dir", required=True)
+    dp.add_argument("--out-dir", required=True)
+    dp.add_argument("--key-cols", default="repo,path",
+                    help="comma-separated primary-key columns")
+    dp.add_argument("--value-cols", default="lang,content",
+                    help="comma-separated value columns")
+    dp.add_argument("--emit-op", action="store_true",
+                    help="keep an explicit u/d op column (feed for "
+                         "--merge-strategy patch); default encodes deletes "
+                         "as null content (the lww tombstone)")
+
     gp = sub.add_parser("changelog", help="export the retained change stream "
                         "(op/epoch-tagged delta rows) to partitioned Parquet")
     gp.add_argument("--state-dir", required=True)
@@ -187,6 +203,17 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
     _init()
+    if args.cmd == "stage-debezium":
+        from .sources.debezium import stage_debezium_jsonl
+        jsonl = sorted(glob.glob(os.path.join(args.jsonl_dir, "*.jsonl")))
+        if not jsonl:
+            print(f"no .jsonl files under {args.jsonl_dir}", file=sys.stderr)
+            return 2
+        staged = stage_debezium_jsonl(
+            jsonl, args.out_dir, args.key_cols.split(","),
+            args.value_cols.split(","), emit_op=args.emit_op)
+        print(json.dumps({"staged": len(staged), "out_dir": args.out_dir}))
+        return 0
     eng = _engine(args)
 
     if args.cmd == "replay":

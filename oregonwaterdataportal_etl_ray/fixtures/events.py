@@ -222,3 +222,47 @@ def generate_patch_events(out_dir: str, spec: GeneratorSpec) -> dict:
     return {"files": files, "n_logical_events": n,
             "n_delivered": n + n_dups_total, "n_duplicates": n_dups_total,
             "spec": spec}
+
+
+def events_to_debezium_jsonl(parquet_files: list[str], out_dir: str,
+                             key_cols=("repo", "path"),
+                             carry_tx_id: bool = True) -> list[str]:
+    """Test-side converter: re-encode canonical change-event parquet batches
+    as Debezium envelope JSONL (one file per input batch) so the
+    sources/debezium.py adapter can be round-trip-tested against the
+    original corpus. Upserts rotate through op c/u/r by LSN (all three map
+    to upsert); deletes (null ``content`` — or op=='d' when an op column is
+    present) become ``{"before": {key}, "after": null, "op": "d"}``.
+    Per-row json.dumps loop — fixture code, not a pipeline."""
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    outs = []
+    for f in parquet_files:
+        t = pq.read_table(f)
+        cols = t.column_names
+        has_op = "op" in cols
+        value_cols = [c for c in cols
+                      if c not in (*key_cols, "commit", "op")]
+        lines = []
+        for r in t.to_pylist():
+            lsn = int(r["commit"][:12])
+            src = {"lsn": lsn}
+            if carry_tx_id:
+                src["txId"] = r["commit"]
+            is_del = (r["op"] == "d") if has_op else (r["content"] is None)
+            if is_del:
+                env = {"before": {k: r[k] for k in key_cols}, "after": None,
+                       "op": "d", "source": src}
+            else:
+                env = {"before": None,
+                       "after": {**{k: r[k] for k in key_cols},
+                                 **{c: r[c] for c in value_cols}},
+                       "op": "cur"[lsn % 3], "source": src}
+            lines.append(json.dumps(env))
+        dst = os.path.join(
+            out_dir, os.path.splitext(os.path.basename(f))[0] + ".jsonl")
+        with open(dst, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        outs.append(dst)
+    return outs
