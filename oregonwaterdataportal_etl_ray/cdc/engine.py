@@ -1573,6 +1573,70 @@ class CdcEngine:
     def lineage(self) -> dict[int, BucketManifest]:
         return load_all_manifests(self.state_dir)
 
+    def lookup(self, keys: list[tuple[str, str]],
+               with_sha: bool = False) -> pa.Table:
+        """Point lookup on the committed state — the serving path (S6,
+        reference userCode/groundwater/wells.py point fetch, applied to the
+        engine's own LSM): hash each (repo, path) to its bucket and read
+        ONLY those buckets, one Ray task per bucket, each merge-on-read
+        restricted by parquet row-group predicate pushdown (state files are
+        sorted by (repo, path), so ``repo IN ... AND path IN ...`` prunes
+        most row groups before decode). At 10^5 buckets a k-key lookup
+        touches <=k buckets and a few row groups — never the table.
+        Requested keys that are absent or deleted are simply missing from
+        the result. Works under both merge strategies (parts are filtered
+        BEFORE the merge fold, which is key-local, so pre-filtering cannot
+        change a requested key's outcome)."""
+        from .merge import bucket_of_keys
+        uniq = sorted(set(keys))
+        if not uniq:
+            return _ReadBucket(self.state_dir, with_sha)._empty()
+        enc = pa.array([f"{len(r)}\x1f{r}\x1f{p}" for r, p in uniq])
+        buckets = bucket_of_keys(enc, self.num_buckets, self.bucket_hash)
+        by_bucket: dict[int, list[tuple[str, str]]] = {}
+        for (r, p), b in zip(uniq, buckets):
+            by_bucket.setdefault(int(b), []).append((r, p))
+        state_dir, strategy = self.state_dir, self.merge_strategy
+
+        @ray.remote
+        def fetch(bucket: int, pairs: list[tuple[str, str]]):
+            import pyarrow.parquet as pq
+            m = load_manifest(state_dir, bucket)
+            if m is None:
+                return None
+            repos = sorted({r for r, _ in pairs})
+            paths = sorted({p for _, p in pairs})
+            filt = [("repo", "in", repos), ("path", "in", paths)]
+
+            def read(rel):
+                return pq.read_table(os.path.join(state_dir, rel),
+                                     filters=filt)
+            parts = ([read(m.base_file)] if m.base_file else []) + \
+                    [read(r) for r in m.runs]
+            merged = (fold_patch_runs(parts) if strategy == "patch"
+                      else merge_sorted_runs(parts))
+            if merged is None:
+                return None
+            # the in-set filters cross-product; exact pair filter now
+            from .merge import key_column
+            want = pa.array([f"{len(r)}\x1f{r}\x1f{p}" for r, p in pairs])
+            merged = merged.filter(pc.is_in(key_column(merged),
+                                            value_set=want))
+            return drop_tombstones(merged)
+
+        out = [t for t in ray.get([fetch.remote(b, ps)
+                                   for b, ps in sorted(by_bucket.items())])
+               if t is not None and t.num_rows]
+        reader = _ReadBucket(self.state_dir, with_sha)
+        if not out:
+            return reader._empty()
+        t = pa.concat_tables(out, promote_options="permissive")
+        if with_sha:
+            t = t.append_column("sha256", sha256_hex(t["content"]))
+        drop = [c for c in reader._dropped() if c in t.column_names]
+        return (t.drop_columns(drop)
+                 .sort_by([("repo", "ascending"), ("path", "ascending")]))
+
     def quarantine_dataset(self) -> "ray.data.Dataset":
         """The dead-letter table: every event replay routed away under
         ``quarantine=True`` (conformed event columns + ``_qreason``), one

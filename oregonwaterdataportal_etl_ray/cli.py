@@ -168,6 +168,19 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--compact-every", type=int, default=4)
     sp.add_argument("--rename", action="append", metavar="OLD=NEW")
 
+    kp = sub.add_parser("lookup", help="point lookup on committed state: "
+                        "reads only the keys' buckets, row-group-pruned "
+                        "(the serving path); prints one JSON row per live "
+                        "key found")
+    kp.add_argument("--state-dir", required=True)
+    kp.add_argument("--key", action="append", nargs=2, required=True,
+                    metavar=("REPO", "PATH"))
+    kp.add_argument("--sha", action="store_true",
+                    help="include the content sha256 per row")
+    kp.add_argument("--num-buckets", type=int, default=64)
+    kp.add_argument("--compact-every", type=int, default=4)
+    kp.add_argument("--rename", action="append", metavar="OLD=NEW")
+
     dp = sub.add_parser("stage-debezium", help="convert Debezium envelope "
                         "JSONL files (before/after/op/source.lsn) to "
                         "canonical parquet change batches replay can consume "
@@ -215,6 +228,12 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"staged": len(staged), "out_dir": args.out_dir}))
         return 0
     eng = _engine(args)
+
+    if args.cmd == "lookup":
+        t = eng.lookup([tuple(k) for k in args.key], with_sha=args.sha)
+        for row in t.to_pylist():
+            print(json.dumps(row, default=str))
+        return 0
 
     if args.cmd == "replay":
         files = sorted(glob.glob(os.path.join(args.events_dir, "*.parquet")))
