@@ -506,17 +506,28 @@ class _ViewDeltas:
 
 
 class _ReadChangelog:
-    """Task-pool UDF: one bucket's change stream (epoch-ranged delta rows)."""
+    """Task-pool UDF: one bucket's change stream (epoch-ranged delta rows).
+
+    Under the patch strategy the emitted rows are the per-epoch folded
+    PATCHES (null value = unchanged) with their ``_reset`` flag kept — the
+    Debezium partial-event stream shape — and ``op`` distinguishes
+    ``patch`` (coalesce onto previous state) / ``upsert`` (reset carrying a
+    full row) / ``delete`` (pure tombstone). Folding the stream with
+    cdc/patch.fold_patch_runs in epoch order reconstructs any state prefix
+    (pinned in tests)."""
 
     def __init__(self, state_dir: str, lo: int, hi: int | None):
         self.state_dir, self.lo, self.hi = state_dir, lo, hi
         self.schema = CdcEngine.load_schema(state_dir)
+        self.strategy = CdcEngine.persisted_merge_strategy(state_dir)
 
     def _empty(self) -> pa.Table:
         fields = [f for f in (self.schema or pa.schema([]))
-                  if f.name != "bucket"]
-        fields += [pa.field("lsn", pa.int64()), pa.field("epoch", pa.int64()),
-                   pa.field("op", pa.string())]
+                  if f.name not in ("bucket", "op")]
+        fields += [pa.field("lsn", pa.int64()), pa.field("epoch", pa.int64())]
+        if self.strategy == "patch":
+            fields.append(pa.field(RESET_COL, pa.bool_()))
+        fields.append(pa.field("op", pa.string()))
         return pa.schema(fields).empty_table()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -532,10 +543,16 @@ class _ReadChangelog:
                 t = t.drop_columns(drop)
                 t = t.append_column(
                     "epoch", pa.array([e] * t.num_rows, pa.int64()))
-                t = t.append_column(
-                    "op", pc.if_else(pc.is_valid(t["content"]),
-                                     pa.scalar("upsert"), pa.scalar("delete")))
-                out.append(t)
+                if self.strategy == "patch":
+                    reset = pc.fill_null(t[RESET_COL], False)
+                    tomb = pc.and_(reset, pc.is_null(t["content"]))
+                    op = pc.if_else(tomb, pa.scalar("delete"),
+                                    pc.if_else(reset, pa.scalar("upsert"),
+                                               pa.scalar("patch")))
+                else:
+                    op = pc.if_else(pc.is_valid(t["content"]),
+                                    pa.scalar("upsert"), pa.scalar("delete"))
+                out.append(t.append_column("op", op))
         if not out:
             return self._empty()
         return pa.concat_tables(out, promote_options="permissive")
@@ -560,13 +577,17 @@ class _ReadBucketAsOf:
                 continue
             parts = [pq.read_table(p) for _, p in
                      _bucket_delta_files(self.state_dir, m, 0, self.epoch)]
-            merged = merge_sorted_runs(parts)
+            # epoch-ascending (``_bucket_delta_files`` sorts) — required by
+            # the patch fold, irrelevant to the LWW merge
+            merged = (fold_patch_runs(parts)
+                      if self._base.strategy == "patch"
+                      else merge_sorted_runs(parts))
             if merged is None:
                 continue
             t = drop_tombstones(merged)
             if self.with_sha:
                 t = t.append_column("sha256", sha256_hex(t["content"]))
-            drop = [c for c in ("bucket", "__key") if c in t.column_names]
+            drop = [c for c in self._base._dropped() if c in t.column_names]
             out.append(t.drop_columns(drop))
         if not out:
             return self._base._empty()
@@ -626,9 +647,7 @@ class CdcEngine:
         # that forgets the flag (e.g. a bare `cli compact`) would otherwise
         # unlink the delta runs and irreversibly break changelog/as-of
         # reads. The marker lets callers auto-detect (retention_enabled).
-        if retain_changelog and merge_strategy != "patch":
-            # (patch + retain refuses below, before the marker could poison
-            # a later construction over the same dir)
+        if retain_changelog:
             p = os.path.join(state_dir, "retain_changelog.json")
             if not os.path.exists(p):
                 atomic_write_bytes(p, b'{"retain_changelog": true}')
@@ -667,14 +686,12 @@ class CdcEngine:
                 "log to change it)")
         else:
             self.merge_strategy = persisted_ms
-        if self.merge_strategy == "patch" and self.retain_changelog:
-            raise NotImplementedError(
-                "retain_changelog is not supported under "
-                "merge_strategy='patch': archived delta runs hold column "
-                "PATCHES, so per-epoch change rows / time travel would need "
-                "a fold-aware changelog reader (not implemented); run a "
-                "second lww engine over the same event log for a change "
-                "stream")
+        # patch + retain_changelog IS supported: the retained runs are
+        # per-epoch folded patch rows (exactly the Debezium partial-event
+        # stream shape), the changelog reader keeps their _reset flag and
+        # tags ops patch/upsert/delete, and as-of reads are an epoch-prefix
+        # fold. Only view_deltas stays lww-only (an aggregate increment
+        # needs the previous WHOLE row, which a patch does not carry).
         if persisted is None:
             # A dir with persisted bucket state but NO layout.json predates
             # layout persistence — i.e. it was written with the v1
@@ -1490,7 +1507,6 @@ class CdcEngine:
         with ``retain_changelog=True``; otherwise only not-yet-compacted
         epochs are visible (documented tradeoff, same as a short binlog
         retention window)."""
-        self._require_lww("changelog_dataset")
         manifests = load_all_manifests(self.state_dir)
         ds = ray.data.from_items([{"bucket": b} for b in sorted(manifests)])
         return ds.map_batches(_ReadChangelog(self.state_dir, lo, hi),
@@ -1557,7 +1573,6 @@ class CdcEngine:
         compact-without-archive, even when changelog retention is enabled
         later in the state dir's life), with the no-changelog-dir heuristic
         kept as a fallback for manifests written before the flag existed."""
-        self._require_lww("dataset_as_of")
         manifests = self._require_retained_deltas("as-of reads")
         ds = ray.data.from_items([{"bucket": b} for b in sorted(manifests)])
         return ds.map_batches(_ReadBucketAsOf(self.state_dir, epoch, with_sha),

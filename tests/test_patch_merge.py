@@ -172,16 +172,56 @@ def test_strategy_is_sticky_and_mismatch_refuses(corpus, tmp_path):
         CdcEngine(state, num_buckets=8, merge_strategy="lww")
 
 
-def test_patch_refuses_whole_row_delta_surfaces(tmp_path):
+def test_patch_refuses_view_deltas_and_bootstrap(tmp_path):
     eng = CdcEngine(str(tmp_path / "s"), num_buckets=4, merge_strategy="patch")
-    for call in (lambda: eng.changelog_dataset(),
-                 lambda: eng.view_deltas(),
-                 lambda: eng.dataset_as_of(0)):
-        with pytest.raises(NotImplementedError, match="patch"):
-            call()
     with pytest.raises(NotImplementedError, match="patch"):
-        CdcEngine(str(tmp_path / "s2"), num_buckets=4,
-                  merge_strategy="patch", retain_changelog=True)
+        eng.view_deltas()
+    with pytest.raises(NotImplementedError, match="patch"):
+        import ray
+        eng.bootstrap(ray.data.from_items([{"repo": "r", "path": "p",
+                                            "commit": "000000000001-x",
+                                            "content": "c"}]))
+
+
+def test_patch_changelog_stream_reconstructs_state(corpus, tmp_path):
+    """Lossless-changelog law under patch: folding the emitted stream
+    (grouped by epoch, epoch-ascending) with the engine's own run fold
+    reconstructs the final table exactly."""
+    eng = CdcEngine(str(tmp_path / "s"), num_buckets=8, compact_every=2,
+                    merge_strategy="patch", retain_changelog=True)
+    eng.replay(corpus["files"], epoch_size=1)
+    stream = eng.changelog_dataset().to_pandas()
+    assert set(stream["op"].unique()) <= {"patch", "upsert", "delete"}
+    assert "_reset" in stream.columns
+    parts = []
+    for e in sorted(stream["epoch"].unique()):
+        part = stream[stream["epoch"] == e].drop(columns=["epoch", "op"])
+        parts.append(pa.Table.from_pandas(part, preserve_index=False))
+    folded = (fold_patch_runs(parts).to_pandas())
+    folded = (folded[folded["content"].notna()]
+              .sort_values(["repo", "path"]).reset_index(drop=True))
+    final = _final(eng)
+    assert len(folded) == len(final)
+    for col in ("repo", "path", "lsn", "content", "lang"):
+        assert list(folded[col].fillna("~")) == list(final[col].fillna("~")), col
+
+
+def test_patch_as_of_matches_prefix_replay(corpus, tmp_path):
+    """Time travel under patch: state as of epoch E == a fresh patch replay
+    of the first E+1 batch files, at every prefix."""
+    eng = CdcEngine(str(tmp_path / "s"), num_buckets=8, compact_every=2,
+                    merge_strategy="patch", retain_changelog=True)
+    eng.replay(corpus["files"], epoch_size=1)
+    for cut in (0, 2, len(corpus["files"]) - 1):
+        asof = (eng.dataset_as_of(cut, with_sha=False).to_pandas()
+                .sort_values(["repo", "path"]).reset_index(drop=True))
+        ref = CdcEngine(str(tmp_path / f"ref{cut}"), num_buckets=8,
+                        merge_strategy="patch")
+        ref.replay(corpus["files"][:cut + 1], epoch_size=1)
+        want = _final(ref)
+        assert len(asof) == len(want), cut
+        for col in ("repo", "path", "lsn", "content", "lang"):
+            assert list(asof[col].fillna("~")) == list(want[col].fillna("~")), (cut, col)
 
 
 def test_lww_corpus_without_op_fails_loud_under_patch(tmp_path):
