@@ -1257,6 +1257,18 @@ class CdcEngine:
                 n_purged = 0
                 if merged is not None and gc is not None:
                     is_tomb = pc.is_null(merged.column("content"))
+                    if strategy == "patch":
+                        # a content-null PATCH row may still carry live
+                        # column state (lang set, content never set) that a
+                        # later content patch resurrects into a live row —
+                        # purging it would silently lose those columns.
+                        # Only a PURE tombstone (every value column null) is
+                        # GC-safe under patch.
+                        from .patch import _ENGINE_META
+                        for c in merged.column_names:
+                            if c not in _ENGINE_META and c != "content":
+                                is_tomb = pc.and_(is_tomb,
+                                                  pc.is_null(merged.column(c)))
                     old = pc.and_(is_tomb, pc.less(merged.column("lsn"), gc))
                     n_purged = pc.sum(old).as_py() or 0
                     if n_purged:

@@ -235,6 +235,47 @@ def test_lww_corpus_without_op_fails_loud_under_patch(tmp_path):
         eng.replay(meta["files"])
 
 
+def test_patch_tombstone_gc_spares_rows_with_live_column_state(tmp_path):
+    """GC must not purge a content-null patch row that still carries other
+    column values — a later content patch legitimately resurrects the key
+    WITH those values. Pure tombstones (all value columns null) are purged."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "ev"
+    d.mkdir()
+
+    def write(name, rows):
+        pq.write_table(_events(rows).drop_columns(["lsn"]).add_column(
+            2, "commit", pa.array([f"{r[2]:012d}-x" for r in rows])),
+            str(d / name))
+
+    # key 'a': lang set, content never set (content-null, NOT a pure tomb)
+    # key 'b': deleted outright (pure tombstone)
+    write("batch-0000.parquet", [("r", "a", 1, "u", None, "py"),
+                                 ("r", "b", 2, "u", "xx", "go"),
+                                 ("r", "b", 3, "d", None, None)])
+    eng = CdcEngine(str(tmp_path / "s"), num_buckets=4,
+                    merge_strategy="patch", compact_every=1)
+    eng.replay([str(d / "batch-0000.parquet")])
+    assert eng.compact(purge_tombstones_below_lsn=10**9) >= 1
+    # 'b' (pure tombstone) purged; 'a' (live column state) retained
+    remaining = []
+    for m in eng.lineage().values():
+        if m.base_file:
+            remaining.append(pq.read_table(
+                os.path.join(str(tmp_path / "s"), m.base_file)))
+    kept = pa.concat_tables(remaining, promote_options="permissive").to_pandas()
+    assert "a" in set(kept["path"]) and "b" not in set(kept["path"])
+
+    # the later content patch resurrects 'a' WITH its lang
+    write("batch-0001.parquet", [("r", "a", 4, "u", "c4", None)])
+    eng.replay([str(d / "batch-0001.parquet")])
+    f = _final(eng).set_index("path")
+    assert f.loc["a", "content"] == "c4" and f.loc["a", "lang"] == "py"
+
+
 def test_patch_quarantine_routes_invalid_op(corpus, tmp_path):
     # poison one file: an op outside {'u','d'} at two rows
     src = corpus["files"][0]
