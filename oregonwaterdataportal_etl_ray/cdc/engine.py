@@ -1379,9 +1379,10 @@ class CdcEngine:
         from .merge import bucket_of_keys, key_column
         # placement in the NEW dir follows the NEW engine's persisted recipe
         # (a fresh dst dir gets the current default) — so reshard doubles as
-        # the migration path off the legacy siphash recipe: old dirs keep
-        # replaying byte-identically under v1, a reshard rewrites placement
-        # under v2 with a byte-identical final table (pinned in pytest)
+        # the recipe-migration path: old dirs keep replaying byte-identically
+        # under the recipe they were built with, a reshard rewrites placement
+        # under the default with a byte-identical final table (pinned in
+        # pytest)
         new_recipe = new_eng.bucket_hash
 
         # Every block this stage emits must carry ONE schema: buckets whose

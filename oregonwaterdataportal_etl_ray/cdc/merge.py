@@ -71,9 +71,17 @@ def _encode_keys(keys: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, pa.Array
 # re-hashing to a different bucket corrupts the LSM merge), so the recipe id
 # lives in layout.json next to num_buckets/key_encoding and a state dir is
 # always read and written with the recipe it was built with.
-BUCKET_HASH_SIPHASH = 1   # pandas object-siphash (legacy; per-unique Python objects)
+BUCKET_HASH_SIPHASH = 1   # pandas object-siphash (per-unique Python objects)
 BUCKET_HASH_POLY = 2      # vectorized polynomial + splitmix64 over Arrow buffers
-BUCKET_HASH_DEFAULT = BUCKET_HASH_POLY
+# Default = siphash. The poly recipe (v2) hashes per-BYTE polynomial terms
+# and materializes ~24 bytes of uint64 scratch per key byte; at 32
+# concurrent normalize workers that extra memory traffic is a measured
+# ~1.7x replay regression on a bandwidth-saturated node (r04 A/B: best
+# siphash 10.1s vs best poly 15.9s on the 20M-event replay), while the
+# per-unique-object cost of siphash is amortized by dictionary-encoding.
+# Recipes are placement-defining PERSISTED state (layout.json), so v2 dirs
+# keep replaying under v2 byte-identically; only fresh dirs pick this up.
+BUCKET_HASH_DEFAULT = BUCKET_HASH_SIPHASH
 
 _POLY_P = np.uint64(0x100000001B3)            # FNV-1a 64 prime (public)
 _POLY_P_INV = np.uint64(pow(0x100000001B3, -1, 2 ** 64))  # mod-2^64 inverse

@@ -2180,7 +2180,8 @@ def fuzzy_dedup_corpus(sf_dir: str):
 
 @_q("mixture_reweight", """
 WITH s AS (
-  SELECT source, SUM(n_chars) AS total_chars FROM documents GROUP BY source),
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY source),
 tot AS (SELECT SUM(total_chars) AS t, COUNT(*) AS k FROM s)
 SELECT source, total_chars,
        ROUND(total_chars / t, 6) AS current_share,
@@ -2621,7 +2622,8 @@ _SOURCE_TOKEN_BUDGET = 50_000
 @_q("source_token_budget", f"""
 WITH d AS (
   SELECT source, doc_id, n_chars,
-         SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum_chars
+         CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+              AS BIGINT) AS cum_chars
   FROM documents)
 SELECT source, doc_id, n_chars, cum_chars
 FROM d WHERE cum_chars <= {_SOURCE_TOKEN_BUDGET}

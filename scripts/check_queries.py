@@ -24,11 +24,35 @@ def to_pandas(res) -> pd.DataFrame:
     return res if isinstance(res, pd.DataFrame) else res.to_pandas()
 
 
+def _fmt(v) -> str:
+    """Per-value stringification mirroring the driver's value hash: a
+    float64 7949.0 and an int64 7949 must stay DISTINCT ('7949.0' vs
+    '7949'), so a dtype artifact in either side can never pass locally
+    and fail the driver's strict hash."""
+    import numpy as np
+    if v is None:
+        return "NULL"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "NULL" if f != f else repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass   # arrays/lists in cells: not a scalar NA
+    return str(v)
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Dtype-STRICT canonical form: columns sorted by name, every cell
+    stringified with float formatting preserved, rows sorted."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+        df[c] = df[c].map(_fmt)
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
@@ -75,14 +99,12 @@ def main():
         ok_cols = list(got.columns) == list(want.columns)
         ok_vals = ok_rows and ok_cols and got.equals(want)
         if not ok_vals and ok_rows and ok_cols:
-            # tolerate dtype-level mismatch (int32 vs int64 etc.)
-            try:
-                pd.testing.assert_frame_equal(got, want, check_dtype=False,
-                                              check_exact=True)
-                ok_vals = True
-            except AssertionError as ex:
-                detail = str(ex).splitlines()[:6]
-                print(f"FAIL {name}: value mismatch: {detail}")
+            diff = (got != want).any(axis=0)
+            bad = [c for c in got.columns if diff[c]]
+            for c in bad[:3]:
+                i = int((got[c] != want[c]).idxmax())
+                print(f"FAIL {name}: col {c!r} row {i}: "
+                      f"got {got[c][i]!r} want {want[c][i]!r}")
         if ok_vals:
             print(f"PASS {name}: {len(got)} rows [{dt:.1f}s]")
             n_pass += 1

@@ -364,18 +364,22 @@ def test_bucket_hash_recipe_persistence_and_migration(corpus, tmp_path):
     """The bucket-hash recipe is placement-defining persisted state:
 
     - a legacy dir (layout.json WITHOUT bucket_hash — written by the
-      pandas-siphash code) keeps replaying under v1, byte-identical with
+      pre-recipe code) keeps replaying under v1, byte-identical with
       the oracle across a resume in a 'new' engine;
-    - a fresh dir is stamped with the current (vectorized) recipe v2 and
-      its placement actually differs from v1 (the stamp is load-bearing);
-    - reshard() is the migration path: resharding the legacy dir writes a
-      v2-recipe dir whose final table is byte-identical.
+    - a dir pre-stamped with the v2 (vectorized poly) recipe replays
+      under v2 and its placement actually differs from v1 (the stamp is
+      load-bearing);
+    - a fresh dir is stamped with the current DEFAULT recipe;
+    - reshard() is the migration path: resharding a dir of one recipe
+      writes a default-recipe dir whose final table is byte-identical.
     """
     import json
     import os
 
     from oregonwaterdataportal_etl_ray.cdc.merge import (
-        BUCKET_HASH_POLY, BUCKET_HASH_SIPHASH, bucket_of_keys, key_column)
+        BUCKET_HASH_DEFAULT, BUCKET_HASH_POLY, BUCKET_HASH_SIPHASH,
+        bucket_of_keys, key_column)
+    from oregonwaterdataportal_etl_ray.state.manifest import atomic_write_bytes
 
     files = sorted(corpus["files"])
 
@@ -396,12 +400,14 @@ def test_bucket_hash_recipe_persistence_and_migration(corpus, tmp_path):
     with open(os.path.join(legacy, "layout.json")) as f:
         assert "bucket_hash" not in json.load(f)   # never silently upgraded
 
-    # --- fresh dir: stamped v2, placement differs from v1 for these keys
+    # --- v2-stamped dir: replays under poly, placement differs from v1
     fresh = str(tmp_path / "fresh")
+    os.makedirs(fresh)
+    atomic_write_bytes(os.path.join(fresh, "layout.json"),
+                       json.dumps({"num_buckets": 8, "key_encoding": 2,
+                                   "bucket_hash": BUCKET_HASH_POLY}).encode())
     feng = CdcEngine(fresh, num_buckets=8, compact_every=2)
     assert feng.bucket_hash == BUCKET_HASH_POLY
-    with open(os.path.join(fresh, "layout.json")) as f:
-        assert json.load(f)["bucket_hash"] == BUCKET_HASH_POLY
     feng.replay(files, epoch_size=2)
     f_final = _assert_matches_oracle(feng, files)
     import pyarrow as pa
@@ -410,9 +416,15 @@ def test_bucket_hash_recipe_persistence_and_migration(corpus, tmp_path):
     assert (bucket_of_keys(keys, 8, BUCKET_HASH_POLY) !=
             bucket_of_keys(keys, 8, BUCKET_HASH_SIPHASH)).any()
 
-    # --- migration: reshard the legacy dir -> v2 recipe, identical table
-    migrated = eng2.reshard(str(tmp_path / "migrated"), new_num_buckets=8)
-    assert migrated.bucket_hash == BUCKET_HASH_POLY
+    # --- fresh dir with no pre-stamp gets the current default recipe
+    deng = CdcEngine(str(tmp_path / "dflt"), num_buckets=8)
+    assert deng.bucket_hash == BUCKET_HASH_DEFAULT
+    with open(os.path.join(str(tmp_path / "dflt"), "layout.json")) as f:
+        assert json.load(f)["bucket_hash"] == BUCKET_HASH_DEFAULT
+
+    # --- migration: reshard the v2 dir -> default recipe, identical table
+    migrated = feng.reshard(str(tmp_path / "migrated"), new_num_buckets=8)
+    assert migrated.bucket_hash == BUCKET_HASH_DEFAULT
     m_final = _assert_matches_oracle(migrated, files)
     assert list(m_final["sha256"]) == list(f_final["sha256"])
     # and the migrated dir keeps ingesting (placement is self-consistent)
