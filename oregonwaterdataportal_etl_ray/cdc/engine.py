@@ -166,18 +166,19 @@ def _quarantine_epoch(group: pa.Table, *, state_dir: str, epoch: int) -> pa.Tabl
     NormalizeEvents under ``quarantine=True``) to
     ``quarantine/run-EEEEE.parquet`` with their ``_qreason``, WITHOUT ever
     touching the LSM state. Idempotent under Ray task retry (atomic rename
-    of deterministic content; an existing file short-circuits). Under a
-    crash-then-resume that renumbers a partially-applied epoch, delivery to
-    the quarantine table is AT-LEAST-ONCE (the conventional DLQ contract) —
-    the LSM state itself stays exactly-once, and quarantined duplicates are
-    verbatim rows a reader can distinct away."""
+    of deterministic content). The write ALWAYS overwrites: a
+    crash-then-resume can regroup files under an existing epoch number, and
+    short-circuiting on the stale file would silently drop the resume's
+    newly-quarantined rows while reporting the new count. Overwrite keeps
+    delivery to the quarantine table AT-LEAST-ONCE (the conventional DLQ
+    contract) — the LSM state itself stays exactly-once, and quarantined
+    duplicates are verbatim rows a reader can distinct away."""
     bucket = int(group.column("bucket")[0].as_py())
     t = group.drop_columns(["bucket", "lsn"]).sort_by(
         [(c, "ascending") for c in group.column_names
          if c not in ("bucket", "lsn")])
     path = os.path.join(state_dir, "quarantine", f"run-{epoch:05d}.parquet")
-    if not os.path.exists(path):
-        atomic_write_table(path, t)
+    atomic_write_table(path, t)
     # ``applied`` carries the quarantined-row count; the driver splits this
     # row out by its sentinel bucket id before summing the real merge stats.
     return _stats_row(bucket=bucket, epoch=epoch, applied=t.num_rows,
@@ -522,12 +523,17 @@ class _ReadChangelog:
         self.strategy = CdcEngine.persisted_merge_strategy(state_dir)
 
     def _empty(self) -> pa.Table:
+        # field order MUST match the real per-bucket output (stored run
+        # columns [..., lsn, _reset], then appended epoch, then op) — a
+        # Dataset mixing empty and non-empty blocks with different column
+        # order trips Ray's inconsistent-schema unification
         fields = [f for f in (self.schema or pa.schema([]))
                   if f.name not in ("bucket", "op")]
-        fields += [pa.field("lsn", pa.int64()), pa.field("epoch", pa.int64())]
+        fields.append(pa.field("lsn", pa.int64()))
         if self.strategy == "patch":
             fields.append(pa.field(RESET_COL, pa.bool_()))
-        fields.append(pa.field("op", pa.string()))
+        fields += [pa.field("epoch", pa.int64()),
+                   pa.field("op", pa.string())]
         return pa.schema(fields).empty_table()
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -129,8 +129,29 @@ def fold_patch_runs(parts: list[pa.Table]) -> pa.Table | None:
     with_seq = [p.append_column("__seq", pa.array(
         np.full(p.num_rows, i, np.int64))) for i, p in enumerate(live)]
     t = pa.concat_tables(with_seq, promote_options="permissive")
-    codes, _ = _encode_keys(key_column(t))
+    codes, uniq = _encode_keys(key_column(t))
     seq = t.column("__seq").to_numpy(zero_copy_only=False)
+    # ORDERING GUARD: the patch contract requires per-key epoch-ordered
+    # delivery (module docstring). A later part carrying an OLDER lsn for a
+    # key (cross-epoch stale redelivery) would silently overwrite newer
+    # column values — lww tolerates that, patch corrupts state — so detect
+    # the regression and refuse loudly instead. Equal lsn across parts (a
+    # verbatim duplicate) is benign and allowed. Vectorized: sort by
+    # (key, part-seq), compare adjacent lsn within key runs.
+    if "lsn" in t.column_names:
+        lsn = t.column("lsn").to_numpy(zero_copy_only=False)
+        gperm = np.lexsort((seq, codes))
+        cs, ls = codes[gperm], lsn[gperm]
+        regress = (cs[1:] == cs[:-1]) & (ls[1:] < ls[:-1])
+        if regress.any():
+            i = int(np.flatnonzero(regress)[0])
+            key = uniq[int(cs[i + 1])].as_py()
+            raise ValueError(
+                f"patch ordering contract violated: key {key!r} regresses "
+                f"from lsn {int(ls[i])} to {int(ls[i + 1])} in a LATER "
+                "epoch part — per-key delivery must be epoch-ordered for "
+                "merge_strategy='patch' (use 'lww' for sources with "
+                "cross-epoch disorder)")
     reset_col = t.column(RESET_COL)
     if isinstance(reset_col, pa.ChunkedArray):
         reset_col = reset_col.combine_chunks()

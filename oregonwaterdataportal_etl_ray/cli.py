@@ -142,6 +142,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="size-tiered compaction: also fold a bucket's runs "
                          "when their total bytes reach this threshold — the "
                          "long-running tail mode is the primary consumer")
+    tp.add_argument("--merge-strategy", choices=["lww", "patch"], default=None,
+                    help="merge contract for a FRESH state dir (existing "
+                         "dirs keep the strategy they were built with); "
+                         "patch consumes partial-update streams with an "
+                         "'op' column, e.g. stage-debezium --emit-op output")
+    tp.add_argument("--quarantine", action="store_true",
+                    help="route malformed events to the dead-letter table "
+                         "under state-dir/quarantine/ instead of failing "
+                         "the session")
 
     cp = sub.add_parser("compact")
     cp.add_argument("--state-dir", required=True)

@@ -249,7 +249,11 @@ def events_to_debezium_jsonl(parquet_files: list[str], out_dir: str,
             lsn = int(r["commit"][:12])
             src = {"lsn": lsn}
             if carry_tx_id:
-                src["txId"] = r["commit"]
+                # txId is the commit's opaque suffix (the hex8 after the
+                # 12-digit LSN prefix) — a realistic transaction label; the
+                # adapter re-synthesizes commit = <lsn:012d>-<txId>, so the
+                # round-trip reconstructs the original commit exactly
+                src["txId"] = r["commit"][13:]
             is_del = (r["op"] == "d") if has_op else (r["content"] is None)
             if is_del:
                 env = {"before": {k: r[k] for k in key_cols}, "after": None,

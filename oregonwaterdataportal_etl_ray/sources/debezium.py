@@ -10,9 +10,13 @@ canonical columnar change-event batches:
     d maps to delete,
   - row values come from ``after``; for deletes the KEY columns come from
     ``before`` (a Debezium delete has ``after: null``),
-  - the version order comes from ``source.lsn`` (``source.txId`` is carried
-    as the ``commit`` string when present, else the LSN is zero-padded into
-    the canonical 12-digit prefix form).
+  - the version order comes from ``source.lsn`` — the ``commit`` string is
+    ALWAYS synthesized as the canonical zero-padded 12-digit LSN prefix
+    (the engine orders by ``int(commit[:12])``), with ``source.txId``
+    appended as an opaque ``-<txId>`` suffix when present. A real
+    Postgres txId like ``'569'`` is NOT a valid version order, so it is
+    never carried verbatim; LSNs >= 10^12 (which would not fit the
+    12-digit prefix) are rejected loudly.
 
 Parsing is VECTORIZED end to end: ``pyarrow.json`` (the C++ block reader
 behind ``ray.data.read_json``) materializes the envelopes as Arrow struct
@@ -91,14 +95,32 @@ def flatten_envelopes(t: pa.Table, key_cols: list[str],
         raise ValueError(
             f"malformed Debezium envelopes: {lsn.null_count} rows without "
             "source.lsn (the version order)")
-    # commit: carry source.txId verbatim when present, else synthesize the
-    # canonical 12-digit form from the LSN
+    lsn = pc.cast(lsn, pa.int64())
+    if t.num_rows and not pc.all(
+            pc.and_(pc.greater_equal(lsn, 0),
+                    pc.less(lsn, 10 ** 12))).as_py():
+        bad = lsn.filter(pc.or_(pc.less(lsn, 0),
+                                pc.greater_equal(lsn, 10 ** 12)))[0].as_py()
+        raise ValueError(
+            f"source.lsn {bad} does not fit the canonical 12-digit commit "
+            "prefix (need 0 <= lsn < 10^12); rebase the source LSNs")
+    # commit: ALWAYS the 12-digit LSN prefix (the engine's version order is
+    # int(commit[:12])); txId is an opaque transaction label, appended as a
+    # suffix — carrying it verbatim would mis-order merges for real txIds
+    # (a Postgres '569' has no positional meaning in the first 12 chars)
     synth = pc.utf8_lpad(pc.cast(lsn, pa.string()), 12, "0")
     tx = (pc.struct_field(src, "txId")
           if (pa.types.is_struct(src.type)
               and src.type.get_field_index("txId") >= 0)
           else pa.nulls(t.num_rows, pa.string()))
-    commit = pc.coalesce(tx, synth)
+    if pa.types.is_null(tx.type):
+        commit = synth
+    else:
+        if not pa.types.is_string(tx.type):
+            tx = pc.cast(tx, pa.string())
+        commit = pc.if_else(
+            pc.is_null(tx), synth,
+            pc.binary_join_element_wise(synth, pc.fill_null(tx, ""), "-"))
     cols: dict = {}
     for k in key_cols:
         # delete envelopes carry the key in `before`

@@ -31,7 +31,7 @@ def _parse(lines):
 def _env_u(repo, path, lsn, op="u", tx=True, **vals):
     src = {"lsn": lsn}
     if tx:
-        src["txId"] = f"{lsn:012d}-t"
+        src["txId"] = f"t{lsn}"   # realistic opaque transaction label
     return {"before": None, "after": {"repo": repo, "path": path, **vals},
             "op": op, "source": src}
 
@@ -39,7 +39,7 @@ def _env_u(repo, path, lsn, op="u", tx=True, **vals):
 def _env_d(repo, path, lsn, tx=True):
     src = {"lsn": lsn}
     if tx:
-        src["txId"] = f"{lsn:012d}-t"
+        src["txId"] = f"t{lsn}"
     return {"before": {"repo": repo, "path": path}, "after": None,
             "op": "d", "source": src}
 
@@ -54,8 +54,8 @@ def test_flatten_upserts_deletes_and_commit_sources():
     out = flatten_envelopes(t, KEYS, VALS).to_pandas()
     assert list(out["repo"]) == ["r"] * 4
     assert list(out["path"]) == ["a", "a", "b", "a"]   # delete key from before
-    assert out["commit"][0] == "000000000001-t"        # txId carried verbatim
-    assert out["commit"][2] == "000000000003"          # synthesized from lsn
+    assert out["commit"][0] == "000000000001-t1"   # lsn prefix + txId suffix
+    assert out["commit"][2] == "000000000003"      # synthesized from lsn
     assert out["content"][3] is None                   # delete -> tombstone
     assert out["lang"][1] is None
 
@@ -86,6 +86,43 @@ def test_flatten_rejects_unknown_op_and_missing_lsn():
                       "op": "u", "source": {"other": 1}}])
     with pytest.raises(ValueError, match="source.lsn"):
         flatten_envelopes(no_lsn, KEYS, VALS)
+
+
+def test_flatten_real_postgres_txids_order_by_lsn():
+    """A real Postgres txId ('569' — digits, no positional meaning) must
+    never become the version order: the commit is ALWAYS the 12-digit LSN
+    prefix, txId an opaque suffix. Covers string digits, int-typed txId
+    (pyarrow.json infers int64), and the lexicographic-order law."""
+    t = _parse([
+        {"before": None, "after": {"repo": "r", "path": "a", "lang": "py",
+                                   "content": "v1"},
+         "op": "c", "source": {"lsn": 9, "txId": "569"}},
+        {"before": None, "after": {"repo": "r", "path": "a", "lang": "py",
+                                   "content": "v2"},
+         "op": "u", "source": {"lsn": 10, "txId": "57"}},
+    ])
+    out = flatten_envelopes(t, KEYS, VALS).to_pandas()
+    assert list(out["commit"]) == ["000000000009-569", "000000000010-57"]
+    # int(commit[:12]) is the engine's version order — later lsn wins even
+    # though '57' < '569' lexicographically
+    assert int(out["commit"][1][:12]) > int(out["commit"][0][:12])
+
+    tint = _parse([{"before": None,
+                    "after": {"repo": "r", "path": "a", "lang": None,
+                              "content": "x"},
+                    "op": "u", "source": {"lsn": 3, "txId": 42}}])
+    oi = flatten_envelopes(tint, KEYS, VALS).to_pandas()
+    assert oi["commit"][0] == "000000000003-42"
+
+
+def test_flatten_rejects_lsn_outside_12_digit_prefix():
+    for bad in (10 ** 12, -1):
+        t = _parse([{"before": None,
+                     "after": {"repo": "r", "path": "a", "lang": None,
+                               "content": "x"},
+                     "op": "u", "source": {"lsn": bad}}])
+        with pytest.raises(ValueError, match="12-digit"):
+            flatten_envelopes(t, KEYS, VALS)
 
 
 @pytest.fixture(scope="module")

@@ -97,6 +97,26 @@ def test_fold_runs_later_nonnull_wins_and_reset_cuts_history():
     assert out.loc["b", "_reset"]
 
 
+def test_fold_runs_refuses_cross_epoch_lsn_regression():
+    """A later epoch part carrying an OLDER lsn for a key (cross-epoch
+    stale redelivery) violates the patch ordering contract and would
+    silently overwrite newer column values — fold_patch_runs must refuse
+    loudly instead of corrupting state."""
+    newer = fold_epoch_events(_events([("r", "a", 9, "u", "v9", "py")]))
+    stale = fold_epoch_events(_events([("r", "a", 3, "u", "v3", "go")]))
+    with pytest.raises(ValueError, match="epoch-ordered"):
+        fold_patch_runs([newer, stale])
+    # equal lsn across parts (verbatim duplicate redelivery) stays benign
+    dup = fold_epoch_events(_events([("r", "a", 9, "u", "v9", "py")]))
+    out = fold_patch_runs([newer, dup]).to_pandas()
+    assert list(out["content"]) == ["v9"]
+    # and regression on a DIFFERENT key still trips (not just adjacency)
+    other = fold_epoch_events(_events([("r", "b", 1, "u", "b1", None),
+                                       ("r", "a", 2, "u", "v2", None)]))
+    with pytest.raises(ValueError, match="regresses"):
+        fold_patch_runs([newer, other])
+
+
 def test_fold_runs_matches_one_shot_fold():
     """Folding per-epoch then across runs == folding all events at once
     (under intra-epoch lsn order + epoch-ordered keys)."""

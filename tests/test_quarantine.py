@@ -112,6 +112,33 @@ def test_quarantine_rerun_adds_nothing(corpora, tmp_path):
                      quarantine=True).quarantine_dataset().count() == n1
 
 
+def test_quarantine_run_overwrites_stale_epoch_file(tmp_path):
+    """A crash-then-resume can regroup files under an existing epoch
+    number; the dead-letter write must OVERWRITE the stale run file —
+    short-circuiting on existence would silently drop the resume's
+    newly-quarantined rows while reporting the new count."""
+    from oregonwaterdataportal_etl_ray.cdc.engine import _quarantine_epoch
+
+    def grp(reasons):
+        n = len(reasons)
+        return pa.table({
+            "bucket": pa.array([0] * n, pa.int32()),
+            "lsn": pa.array(range(n), pa.int64()),
+            "repo": pa.array([None] * n, pa.string()),
+            "_qreason": pa.array(reasons),
+        })
+
+    state = str(tmp_path / "q")
+    stats1 = _quarantine_epoch(grp(["a"]), state_dir=state, epoch=7)
+    assert stats1.column("applied")[0].as_py() == 1
+    # resume regrouped a DIFFERENT file set under epoch 7
+    stats2 = _quarantine_epoch(grp(["b", "c"]), state_dir=state, epoch=7)
+    assert stats2.column("applied")[0].as_py() == 2
+    got = pq.read_table(
+        str(tmp_path / "q" / "quarantine" / "run-00007.parquet"))
+    assert sorted(got.column("_qreason").to_pylist()) == ["b", "c"]
+
+
 def test_quarantine_mode_on_clean_corpus_is_free(corpora, tmp_path):
     eng = CdcEngine(str(tmp_path / "q"), num_buckets=8, quarantine=True)
     res = eng.replay(corpora["clean"], epoch_size=2)
