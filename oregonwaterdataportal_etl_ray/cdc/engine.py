@@ -409,15 +409,27 @@ def _bucket_delta_files(state_dir: str, m: BucketManifest, lo: int = 0,
     manifest's ``runs`` list — NOT a directory glob, so a run file written by
     a crashed, never-committed epoch is invisible here exactly as it is to
     merge-on-read. The two sets are disjoint (archiving clears ``m.runs``
-    and epochs never re-enter it)."""
+    and epochs never re-enter it). A ``floor-EEEEE.parquet`` checkpoint
+    (written by prune_changelog — the fold of every pruned run at-or-below
+    its label) participates like a run at its label epoch and WINS over a
+    same-label run file (the crash window between checkpoint write and run
+    deletion leaves both; the checkpoint subsumes the run)."""
     out: dict[int, str] = {}
+    floors: dict[int, str] = {}
     cl = os.path.join(state_dir, "changelog", f"bucket={m.bucket:05d}")
     if os.path.isdir(cl):
         for f in os.listdir(cl):
-            if f.startswith("run-") and f.endswith(".parquet"):
+            if not f.endswith(".parquet"):
+                continue
+            if f.startswith("run-"):
                 e = int(f[len("run-"):-len(".parquet")])
                 if lo <= e and (hi is None or e <= hi):
                     out[e] = os.path.join(cl, f)
+            elif f.startswith("floor-"):
+                e = int(f[len("floor-"):-len(".parquet")])
+                if lo <= e and (hi is None or e <= hi):
+                    floors[e] = os.path.join(cl, f)
+    out.update(floors)
     for rel in m.runs:
         e = int(os.path.basename(rel)[len("run-"):-len(".parquet")])
         if lo <= e and (hi is None or e <= hi):
@@ -642,8 +654,10 @@ class CdcEngine:
         # archives it under changelog/ instead of unlinking) so the engine
         # can serve a downstream change stream (changelog_dataset) and
         # time-travel reads (dataset_as_of). Storage grows with total change
-        # volume, like any CDC retention window; prune by deleting old
-        # changelog/bucket=*/run-<epoch>.parquet files.
+        # volume, like any CDC retention window; bound it with
+        # prune_changelog(before_epoch) (CLI: prune-changelog), which folds
+        # the pruned prefix into a per-bucket floor checkpoint so reads at
+        # or above the floor stay exact and reads below refuse loudly.
         self.retain_changelog = retain_changelog
         # lazy-loaded snapshot-cut watermark (see bootstrap()); tuple marks
         # "loaded" so a dir without one is not re-stat'd every epoch
@@ -1327,6 +1341,116 @@ class CdcEngine:
         return max(0, min(m.last_applied_lsn for m in manifests.values())
                    - disorder_bound)
 
+    def prune_changelog(self, before_epoch: int) -> dict:
+        """Bound changelog retention: prune archived history below
+        ``before_epoch``. Per bucket, every archived delta run (and any
+        earlier floor checkpoint) with epoch < before_epoch is folded into
+        ONE checkpoint part, ``changelog/bucket=B/floor-EEEEE.parquet``
+        with label E = before_epoch - 1 — Kafka-log-compaction semantics:
+        the latest state per key subsumes the pruned prefix, so reads at or
+        above the floor stay EXACT:
+
+          - ``dataset_as_of(epoch)`` stays exact for
+            ``epoch >= before_epoch - 1`` and refuses loudly below (the
+            ``discarded_deltas`` refuse-loudly discipline),
+          - ``changelog_dataset`` requires ``lo >= before_epoch`` (the true
+            per-epoch stream below the floor no longer exists),
+          - ``view_deltas`` keeps folding correctly: the checkpoint surfaces
+            as one lumped snapshot increment at epoch before_epoch - 1, so
+            a consumer's cumulative fold is unchanged at every later epoch.
+
+        Crash-safe and idempotent, per bucket in this order: (1) checkpoint
+        written first (atomic rename; double-reading checkpoint + not-yet-
+        deleted runs folds idempotently — LWW dedups identical winners, the
+        patch fold tolerates equal-lsn duplicate parts), (2) manifest floor
+        committed, (3) pruned files unlinked. A killed prune re-run
+        finishes the job. Refuses if a bucket still holds a LIVE
+        (uncompacted) run below the cut — ``compact()`` first, so pruning
+        only ever touches the archived changelog, never merge-on-read
+        state. Admin verb: do not run concurrently with replay/tail (same
+        contract as compact/reshard). Distributed: one task per bucket
+        batch; only pruned bytes are read, the table itself is untouched.
+        """
+        manifests = self._require_retained_deltas("changelog pruning")
+        for m in manifests.values():
+            for rel in m.runs:
+                e = int(os.path.basename(rel)[len("run-"):-len(".parquet")])
+                if e < before_epoch:
+                    raise ValueError(
+                        f"bucket {m.bucket} has a LIVE (uncompacted) delta "
+                        f"run at epoch {e} < {before_epoch}; compact() "
+                        "first so the run is archived before pruning")
+        todo = [b for b, m in manifests.items()
+                if m.changelog_floor < before_epoch]
+        if not todo:
+            return {"buckets": 0, "pruned_files": 0, "pruned_bytes": 0}
+        state_dir = self.state_dir
+        strategy = self.merge_strategy
+
+        def prune_batch(batch: pa.Table) -> pa.Table:
+            rows = []
+            for b in batch.column("bucket").to_pylist():
+                m = load_manifest(state_dir, int(b))
+                if m is None or m.changelog_floor >= before_epoch:
+                    continue
+                cl = os.path.join(state_dir, "changelog",
+                                  f"bucket={int(b):05d}")
+                prunable: list[tuple[int, str]] = []
+                if os.path.isdir(cl):
+                    for f in os.listdir(cl):
+                        if not f.endswith(".parquet"):
+                            continue
+                        if f.startswith("run-"):
+                            e = int(f[len("run-"):-len(".parquet")])
+                        elif f.startswith("floor-"):
+                            e = int(f[len("floor-"):-len(".parquet")])
+                        else:
+                            continue
+                        if e < before_epoch:
+                            prunable.append((e, os.path.join(cl, f)))
+                prunable.sort()
+                n_bytes = 0
+                if prunable:
+                    parts = [pq.read_table(p) for _, p in prunable]
+                    folded = (fold_patch_runs(parts) if strategy == "patch"
+                              else merge_sorted_runs(parts))
+                    if folded is not None and folded.num_rows:
+                        atomic_write_table(
+                            os.path.join(
+                                cl, f"floor-{before_epoch - 1:05d}.parquet"),
+                            folded.sort_by([("repo", "ascending"),
+                                            ("path", "ascending")]))
+                m.changelog_floor = before_epoch
+                write_manifest(state_dir, m)
+                for _, p in prunable:
+                    try:
+                        n_bytes += os.path.getsize(p)
+                        os.unlink(p)
+                    except FileNotFoundError:
+                        pass
+                rows.append({"bucket": int(b), "pruned_files": len(prunable),
+                             "pruned_bytes": n_bytes})
+            return pa.table({
+                "bucket": pa.array([r["bucket"] for r in rows], pa.int32()),
+                "pruned_files": pa.array(
+                    [r["pruned_files"] for r in rows], pa.int64()),
+                "pruned_bytes": pa.array(
+                    [r["pruned_bytes"] for r in rows], pa.int64()),
+            })
+
+        ds = ray.data.from_items([{"bucket": b} for b in sorted(todo)])
+        stats = ds.map_batches(prune_batch, batch_format="pyarrow",
+                               batch_size=2).take_all()
+        return {"buckets": len(stats),
+                "pruned_files": sum(r["pruned_files"] for r in stats),
+                "pruned_bytes": sum(r["pruned_bytes"] for r in stats)}
+
+    def changelog_floor(self) -> int:
+        """The highest per-bucket retention floor: epochs below it are
+        pruned from the changelog (0 = full history retained)."""
+        return max((m.changelog_floor for m in
+                    load_all_manifests(self.state_dir).values()), default=0)
+
     def reshard(self, new_state_dir: str, new_num_buckets: int) -> "CdcEngine":
         """Re-partition committed LSM state to a new bucket count (cluster
         resize: 4x the nodes wants ~4x the buckets). Distributed: a task
@@ -1527,6 +1651,14 @@ class CdcEngine:
         epochs are visible (documented tradeoff, same as a short binlog
         retention window)."""
         manifests = load_all_manifests(self.state_dir)
+        floor = max((m.changelog_floor for m in manifests.values()),
+                    default=0)
+        if lo < floor:
+            raise ValueError(
+                f"changelog epochs below {floor} were pruned "
+                f"(prune_changelog); pass lo >= {floor}, or bootstrap the "
+                f"consumer from dataset_as_of({floor - 1}) — the retained "
+                "floor checkpoint — then stream from there")
         ds = ray.data.from_items([{"bucket": b} for b in sorted(manifests)])
         return ds.map_batches(_ReadChangelog(self.state_dir, lo, hi),
                               batch_format="pyarrow", batch_size=2)
@@ -1591,8 +1723,18 @@ class CdcEngine:
         the manifest's ``discarded_deltas`` flag (set by any
         compact-without-archive, even when changelog retention is enabled
         later in the state dir's life), with the no-changelog-dir heuristic
-        kept as a fallback for manifests written before the flag existed."""
+        kept as a fallback for manifests written before the flag existed.
+        After ``prune_changelog(B)`` the read stays exact for
+        ``epoch >= B - 1`` (the floor checkpoint IS the state at B - 1)
+        and refuses below."""
         manifests = self._require_retained_deltas("as-of reads")
+        floor = max((m.changelog_floor for m in manifests.values()),
+                    default=0)
+        if epoch < floor - 1:
+            raise ValueError(
+                f"as-of epoch {epoch} is below the changelog retention "
+                f"floor (epochs < {floor} were pruned; the earliest exact "
+                f"cut is {floor - 1}, the floor checkpoint)")
         ds = ray.data.from_items([{"bucket": b} for b in sorted(manifests)])
         return ds.map_batches(_ReadBucketAsOf(self.state_dir, epoch, with_sha),
                               batch_format="pyarrow", batch_size=2)

@@ -206,6 +206,19 @@ def main(argv: list[str] | None = None) -> int:
                          "--merge-strategy patch); default encodes deletes "
                          "as null content (the lww tombstone)")
 
+    pp = sub.add_parser("prune-changelog", help="bound changelog retention: "
+                        "fold archived epochs below --before-epoch into a "
+                        "per-bucket floor checkpoint and delete them; as-of "
+                        "and changelog reads below the floor then refuse "
+                        "loudly (run compact first if live runs predate the "
+                        "cut)")
+    pp.add_argument("--state-dir", required=True)
+    pp.add_argument("--before-epoch", type=int, required=True,
+                    help="prune archived epochs < this value")
+    pp.add_argument("--num-buckets", type=int, default=64)
+    pp.add_argument("--compact-every", type=int, default=4)
+    pp.add_argument("--rename", action="append", metavar="OLD=NEW")
+
     gp = sub.add_parser("changelog", help="export the retained change stream "
                         "(op/epoch-tagged delta rows) to partitioned Parquet")
     gp.add_argument("--state-dir", required=True)
@@ -273,6 +286,9 @@ def main(argv: list[str] | None = None) -> int:
                           "upserts": res.n_upserts, "deletes": res.n_deletes}))
     elif args.cmd == "compact":
         print(json.dumps({"buckets_compacted": eng.compact()}))
+    elif args.cmd == "prune-changelog":
+        st = eng.prune_changelog(args.before_epoch)
+        print(json.dumps({**st, "floor": eng.changelog_floor()}))
     elif args.cmd == "reshard":
         new_eng = eng.reshard(args.new_state_dir, args.new_num_buckets)
         print(json.dumps({"new_state_dir": args.new_state_dir,

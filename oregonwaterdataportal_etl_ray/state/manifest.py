@@ -39,6 +39,12 @@ class BucketManifest:
     # time-travel reads are permanently inexact for this bucket (deltas alone
     # no longer reconstruct any cut). Never reset; old manifests load False.
     discarded_deltas: bool = False
+    # Changelog retention floor: epochs BELOW this value have been pruned
+    # from the archived changelog (folded into one floor checkpoint part by
+    # CdcEngine.prune_changelog). as-of reads below floor-1 and changelog
+    # reads below the floor refuse loudly. 0 = nothing pruned; old
+    # manifests load 0.
+    changelog_floor: int = 0
     # stats of the LAST committed epoch ({"epoch", "applied", "upserts",
     # "deletes", "skipped_stale"}): a Ray retry of an already-committed merge
     # task returns these instead of zeros, so the epoch lineage record keeps
