@@ -21,9 +21,10 @@ from ..functions.kernels import md5_hex
 from ..sources.readers import read_table, small_table
 from ..stages.ann import BruteForceTopK, final_topk
 from ..stages.dedup import (BandExploder, MinHasher, NgramPairVerifier, SimHasher,
+                            attach_signature, dedup_pairs_distributed,
                             load_candidate_texts, pairs_in_partition,
                             simhash_pairs_in_partition)
-from ..stages.joins import BroadcastLookup, MembershipFilter
+from ..stages.joins import BroadcastLookup, MembershipFilter, bucketed_anti_join
 from ..stages.kernels import keep_last_by
 from ..stages.partitioning import derived_join_partitions, derived_num_buckets
 from ..stages.text import (TRIM_CHARS, LangId, QualityScore, char_classes,
@@ -1497,14 +1498,27 @@ def _add_lsh_part(key_col: str, nparts: int, band_col: str = "band_id"):
     return fn
 
 
+# Candidate-pair driver budget: below it, the cross-band pair dedup and the
+# signature lookup run as one driver-side pandas pass (cheap and exact —
+# the common case, where LSH keeps the candidate set output-sized); above
+# it (a web-scale duplicate rate makes the candidate set O(corpus)), the
+# pipelines switch to the distributed fallbacks — hash-partitioned
+# first-wins pair dedup, co-partitioned signature re-join, bucketed
+# anti-join for corpus filtering — so the full pair/removal set never
+# lands on one node. Tests force the trigger by monkeypatching to 0.
+PAIR_DRIVER_LIMIT = 2_000_000
+
+
 def _minhash_near_dup_pairs(sf_dir: str) -> pa.Table:
     """Shared candidate+estimate stage for minhash_near_dup and
     ngram_jaccard_dup: shingle -> minhash (vectorized task-pool stage,
     materialized once) -> band-explode -> hash-partitioned vectorized
     in-bucket pair-gen -> pair dedup -> signature re-join by id ->
-    vectorized Jaccard estimate >= 0.5. Only the output-sized pair list
-    ever reaches the driver. Memoized per (sf_dir) within a process so the
-    verification query does not re-run the whole LSH pipeline."""
+    vectorized Jaccard estimate >= 0.5. Only the output-sized TRUE-dup
+    list ever reaches the driver; when the raw candidate set exceeds
+    PAIR_DRIVER_LIMIT even the dedup + signature re-join stay distributed.
+    Memoized per (sf_dir) within a process so the verification query does
+    not re-run the whole LSH pipeline."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     sigs = ds.map_batches(MinHasher(num_perm=64, k=5), batch_format="pyarrow") \
              .select_columns(["doc_id", "minhash"]).materialize()
@@ -1514,7 +1528,41 @@ def _minhash_near_dup_pairs(sf_dir: str) -> pa.Table:
                                batch_format="pyarrow")
                   .groupby("__part")
                   .map_groups(lambda g: pairs_in_partition(g),
-                              batch_format="pyarrow"))
+                              batch_format="pyarrow")).materialize()
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "est_jaccard": pa.array([], pa.float64())})
+
+    if pairs.count() > PAIR_DRIVER_LIMIT:
+        # Fallback: distributed first-wins dedup (one pair shuffle), then
+        # the signature of each side attached via two co-partitioned
+        # gathers, estimate vectorized per batch, filter >= 0.5. Only the
+        # true near-dup set (the query's output) is collected.
+        deduped = dedup_pairs_distributed(
+            pairs.select_columns(["id_a", "id_b"]))
+        with_a = attach_signature(deduped, sigs, "id_a", "__mh_a")
+        with_b = attach_signature(with_a, sigs, "id_b", "__mh_b")
+
+        def est_batch(t: pa.Table) -> pa.Table:
+            from ..stages.dedup import _mh_matrix
+            if t.num_rows == 0:
+                return empty
+            est = (_mh_matrix(t["__mh_a"]) == _mh_matrix(t["__mh_b"])) \
+                .mean(axis=1)
+            keep = est >= 0.5
+            return pa.table({"id_a": t["id_a"].filter(pa.array(keep)),
+                             "id_b": t["id_b"].filter(pa.array(keep)),
+                             "est_jaccard": pa.array(est[keep], pa.float64())})
+
+        out = with_b.map_batches(est_batch, batch_format="pyarrow") \
+                    .to_pandas().sort_values(["id_a", "id_b"],
+                                             ignore_index=True)
+        if not len(out):
+            return empty
+        return pa.table({"id_a": pa.array(out["id_a"], pa.int64()),
+                         "id_b": pa.array(out["id_b"], pa.int64()),
+                         "est_jaccard": pa.array(out["est_jaccard"],
+                                                 pa.float64())})
 
     # Verify: the candidate pair set is output-sized (bounded by the LSH
     # design), so fetch ONLY the candidate ids' signatures — a distributed
@@ -1526,9 +1574,7 @@ def _minhash_near_dup_pairs(sf_dir: str) -> pa.Table:
     pairs_pd = pairs.to_pandas().drop_duplicates(["id_a", "id_b"]) \
                     .sort_values(["id_a", "id_b"], ignore_index=True)
     if not len(pairs_pd):
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "est_jaccard": pa.array([], pa.float64())})
+        return empty
     need = np.unique(np.concatenate([pairs_pd["id_a"], pairs_pd["id_b"]]))
     cand_sigs = sigs.map_batches(
         MembershipFilter(need, col="doc_id", keep=True),
@@ -1608,7 +1654,10 @@ def simhash_near_dup(sf_dir: str):
     function of the two full 64-bit fingerprints, not the band), so the
     cross-band dedup runs on the already-output-sized pair set on the driver
     (the _minhash_near_dup_pairs discipline) instead of paying a second
-    all-to-all hash-aggregate exchange for a groupby(id_a, id_b)."""
+    all-to-all hash-aggregate exchange — unless the candidate set exceeds
+    PAIR_DRIVER_LIMIT, where the dedup switches to the distributed
+    hash-partitioned first-wins pass (hamming is identical across a pair's
+    band collisions, so first-wins is exact)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     hashed = ds.map_batches(SimHasher(k=5), batch_format="pyarrow") \
                .select_columns(["doc_id", "simhash"])
@@ -1631,9 +1680,14 @@ def simhash_near_dup(sf_dir: str):
                                 batch_format="pyarrow")
                    .groupby("__part")
                    .map_groups(lambda g: simhash_pairs_in_partition(g),
-                               batch_format="pyarrow"))
-    pd_pairs = pairs.to_pandas().drop_duplicates(["id_a", "id_b"]) \
-                    .sort_values(["id_a", "id_b"], ignore_index=True)
+                               batch_format="pyarrow")).materialize()
+    if pairs.count() > PAIR_DRIVER_LIMIT:
+        pairs = dedup_pairs_distributed(pairs)
+        pd_pairs = pairs.to_pandas().sort_values(["id_a", "id_b"],
+                                                 ignore_index=True)
+    else:
+        pd_pairs = pairs.to_pandas().drop_duplicates(["id_a", "id_b"]) \
+                        .sort_values(["id_a", "id_b"], ignore_index=True)
     return pa.table({"id_a": pa.array(pd_pairs["id_a"], pa.int64()),
                      "id_b": pa.array(pd_pairs["id_b"], pa.int64()),
                      "hamming": pa.array(pd_pairs["hamming"], pa.int64())})
@@ -2160,13 +2214,25 @@ def fuzzy_dedup_corpus(sf_dir: str):
     near-dup pairs -> connected components -> drop every non-canonical
     cluster member (component min survives) -> per-lang corpus stats of the
     deduplicated corpus. The removal set is cluster-members-minus-one
-    (output-sized); the corpus filter is a distributed membership filter,
-    so the full corpus is never collected."""
+    (output-sized); the corpus filter is a distributed membership filter —
+    or, when the pair set exceeds PAIR_DRIVER_LIMIT (a web-scale dup rate
+    makes the removal set O(corpus)), a hash-partitioned bucketed ANTI
+    join, so the removal ids are never collected or broadcast."""
     from ray.data.aggregate import Count, Sum
     from ..stages.graph import connected_components
     pairs = _minhash_pairs_cached(sf_dir)
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
-    if pairs.num_rows:
+    if pairs.num_rows > PAIR_DRIVER_LIMIT:
+        cc_ds = connected_components(ray.data.from_arrow(
+            pairs.select(["id_a", "id_b"])))
+
+        def non_canonical(t: pa.Table) -> pa.Table:
+            keep = pc.invert(pc.equal(t["node"], t["component"]))
+            return t.filter(keep).select(["node"])
+
+        removed_ds = cc_ds.map_batches(non_canonical, batch_format="pyarrow")
+        ds = bucketed_anti_join(ds, removed_ds, on="doc_id", id_col="node")
+    elif pairs.num_rows:
         cc = connected_components(ray.data.from_arrow(
             pairs.select(["id_a", "id_b"]))).to_pandas()
         removed = cc.loc[cc["node"] != cc["component"], "node"].to_numpy(np.int64)

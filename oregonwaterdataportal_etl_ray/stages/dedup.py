@@ -390,9 +390,12 @@ class NgramPairVerifier:
     The candidate-id texts (output-sized, bounded by the LSH design) are
     resolved once per actor from an object ref; their shingle-hash sets are
     built in ONE vectorized `_batch_rolling_hashes` pass and stored as
-    sorted-unique uint64 arrays. Each batch of (id_a, id_b) pairs then costs
-    one `np.intersect1d` per pair over those precomputed arrays — the
-    per-pair loop the driver used to run now shards across the actor pool."""
+    sorted-unique uint64 arrays. Each batch of (id_a, id_b) pairs is then
+    verified in ONE segment-sorted merge-count: concatenate every pair's
+    two hash sets into a single arena tagged by pair index, lexsort once,
+    and count adjacent duplicates per segment — |A ∩ B| is exactly the
+    number of values appearing twice within a pair's segment (both inputs
+    are unique). No per-pair Python; the only loop gathers array refs."""
 
     def __init__(self, texts_ref, k: int = 5):
         import ray
@@ -423,14 +426,30 @@ class NgramPairVerifier:
                 f"candidate pairs reference doc_id(s) {missing[:10]} absent "
                 "from the candidate text table — the documents file likely "
                 "changed between the pair build and the verify pass")
-        jac = np.empty(len(ia), dtype=np.float64)
-        for j in range(len(ia)):
-            sa, sb = self.sets[int(ia[j])], self.sets[int(ib[j])]
-            if not len(sa) and not len(sb):
-                jac[j] = 1.0
-                continue
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            jac[j] = inter / (len(sa) + len(sb) - inter)
+        n = len(ia)
+        if n == 0:
+            return pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
+                             "jaccard": pa.array([], pa.float64())})
+        arrs = [None] * (2 * n)
+        arrs[0::2] = [self.sets[int(x)] for x in ia]
+        arrs[1::2] = [self.sets[int(x)] for x in ib]
+        la = np.fromiter((len(a) for a in arrs[0::2]), np.int64, n)
+        lb = np.fromiter((len(b) for b in arrs[1::2]), np.int64, n)
+        sizes = la + lb
+        vals = (np.concatenate(arrs) if sizes.sum()
+                else np.empty(0, np.uint64))
+        seg = np.repeat(np.arange(n, dtype=np.int64), sizes)
+        order = np.lexsort((vals, seg))
+        v, s = vals[order], seg[order]
+        dup = np.zeros(len(v), dtype=bool)
+        if len(v) > 1:
+            dup[1:] = (v[1:] == v[:-1]) & (s[1:] == s[:-1])
+        inter = np.bincount(s[dup], minlength=n)
+        union = sizes - inter
+        # two empty sets: vacuous Jaccard of 1.0 (both texts shorter than
+        # k and identical after padding is impossible here — sets are
+        # non-empty for any text; keep the historical convention)
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         return pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
                          "jaccard": pa.array(jac, pa.float64())})
 
@@ -485,3 +504,127 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = np.bitwise_xor(a, b)
     # popcount via unpackbits on the byte view
     return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# at-scale fallbacks: distributed pair dedup + signature re-join
+# ---------------------------------------------------------------------------
+# The near-dup pipelines normally dedup their cross-band candidate pair set
+# and fetch candidate signatures via a driver-sized pandas pass — correct
+# while the pair set is "output-sized", but at a web-scale duplicate rate
+# the candidate set is O(corpus) and the driver pass becomes an OOM. These
+# helpers are the count-triggered fallback: the same semantics as
+# drop_duplicates + signature lookup, expressed as ONE hash-partitioned
+# shuffle each, no full set on any single node.
+
+_PGOLD = np.uint64(0x9E3779B97F4A7C15)
+_PMIX = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def dedup_pairs_distributed(pairs, num_parts: int | None = None):
+    """First-wins dedup of a candidate-pair Dataset on (id_a, id_b): hash-
+    partition the pairs (one shuffle of the pair rows only), then one
+    vectorized lexsort+run-boundary pass per partition. Every column rides
+    along (cross-band duplicates of a pair are verbatim-identical in the
+    columns the pipelines keep: hamming/est are functions of the two full
+    fingerprints, not the band)."""
+    from .partitioning import derived_num_buckets
+    nparts = num_parts or derived_num_buckets()
+
+    def part(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((a * _PGOLD) ^ (b * _PMIX)) & np.uint64(nparts - 1)
+        return t.append_column("__part", pa.array(h.astype(np.int32)))
+
+    def uniq(g: pa.Table) -> pa.Table:
+        a = g["id_a"].to_numpy(zero_copy_only=False)
+        b = g["id_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = ((a[order][1:] != a[order][:-1])
+                     | (b[order][1:] != b[order][:-1]))
+        return g.take(pa.array(order[first])).drop_columns(["__part"])
+
+    return (pairs.map_batches(part, batch_format="pyarrow")
+                 .groupby("__part")
+                 .map_groups(uniq, batch_format="pyarrow"))
+
+
+def _mh_matrix(col) -> np.ndarray:
+    """(n, num_perm) uint64 matrix from a fixed-length list<uint64> column
+    (zero-copy flatten + reshape, no per-row Python)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), np.uint64)
+    vals = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    return vals.reshape(n, -1)
+
+
+def attach_signature(pairs, sigs, key: str, out_col: str,
+                     num_parts: int | None = None,
+                     sig_key: str = "doc_id", sig_col: str = "minhash"):
+    """Co-partitioned gather of ``sigs[sig_col]`` onto ``pairs[key]`` — the
+    distributed replacement for the driver-side candidate-signature lookup.
+    Both sides hash-bucket on the id (one shuffle each), a tagged union
+    co-locates them, and each bucket does one vectorized
+    argsort+searchsorted gather. Partitioning assumption (standard hash
+    join): one bucket's rows from both sides fit a worker."""
+    from .partitioning import derived_num_buckets
+    nparts = num_parts or derived_num_buckets()
+    p_sch = pairs.schema()
+    p_fields = [(n, t) for n, t in zip(p_sch.names, p_sch.types)
+                if n != "__part"]
+    p_names = [n for n, _ in p_fields]
+    s_sch = sigs.schema()
+    sig_type = dict(zip(s_sch.names, s_sch.types))[sig_col]
+
+    def tag(side: int, id_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for n, ty in p_fields:
+                cols[n] = (t[n] if n in t.column_names
+                           else pa.nulls(t.num_rows, ty))
+            cols["__sig"] = (t[sig_col] if side == 1
+                             else pa.nulls(t.num_rows, sig_type))
+            cols["__sid"] = (t[sig_key] if side == 1
+                             else pa.nulls(t.num_rows, pa.int64()))
+            v = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            cols["__b"] = pa.array(
+                ((v * _PGOLD) & np.uint64(nparts - 1)).astype(np.int32))
+            cols["__side"] = pa.array(np.full(t.num_rows, side, np.int8))
+            return pa.table(cols)
+        return fn
+
+    tagged = pairs.map_batches(tag(0, key), batch_format="pyarrow") \
+        .union(sigs.map_batches(tag(1, sig_key), batch_format="pyarrow"))
+
+    def gather(g: pa.Table) -> pa.Table:
+        is_p = pc.equal(g["__side"], 0)
+        p = g.filter(is_p)
+        s = g.filter(pc.invert(is_p))
+        if p.num_rows == 0:
+            return pa.table(
+                {**{n: p[n] for n in p_names},
+                 out_col: pa.chunked_array([], type=sig_type)})
+        if s.num_rows == 0:
+            raise ValueError(
+                f"pair ids present with no co-partitioned signature rows "
+                f"(bucket of {p.num_rows} pairs) — the signature dataset "
+                "must cover every candidate id")
+        sid = s["__sid"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sid, kind="stable")
+        k = p[key].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sid[order], k)
+        if (pos >= len(order)).any() or (sid[order][np.minimum(
+                pos, len(order) - 1)] != k).any():
+            raise ValueError("candidate id missing from signature dataset")
+        sig = s["__sig"]
+        if isinstance(sig, pa.ChunkedArray):
+            sig = sig.combine_chunks()
+        return pa.table({**{n: p[n] for n in p_names},
+                         out_col: sig.take(pa.array(order[pos]))})
+
+    return tagged.groupby("__b").map_groups(gather, batch_format="pyarrow")

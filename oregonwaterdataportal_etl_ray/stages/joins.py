@@ -258,3 +258,58 @@ def bucketed_full_outer_join(left, right, left_on: str, right_on: str,
 
     return tagged.groupby("__bucket").map_groups(merge_group,
                                                  batch_format="pyarrow")
+
+
+def bucketed_anti_join(ds, ids, on: str, id_col: str | None = None,
+                       num_buckets: int | None = None):
+    """ANTI join without a broadcast: rows of ``ds`` whose ``ds[on]`` does
+    NOT appear in ``ids[id_col]`` — the at-scale replacement for shipping a
+    removal array to every task when the removal set is corpus-sized (e.g.
+    a web-scale near-dup removal set). Both sides hash-bucket on the id
+    (one shuffle each), a tagged union co-locates them, and each bucket
+    filters vectorized with ``pc.is_in``. Integer ids required (the dedup
+    pipelines' doc_id). Partitioning assumption: one bucket's rows from
+    both sides fit a worker."""
+    import numpy as np
+
+    from .partitioning import derived_num_buckets
+    id_col = id_col or on
+    nb = num_buckets or derived_num_buckets()
+    sch = _arrow_schema(ds)
+    fields = [(n, t) for n, t in zip(sch.names, sch.types)]
+    names = [n for n, _ in fields]
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    def tag(side: int, key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for n, ty in fields:
+                if side == 0:
+                    cols[n] = t[n]
+                else:
+                    cols[n] = (t[key] if n == on
+                               else pa.nulls(t.num_rows, ty))
+            v = cols[on].to_numpy(zero_copy_only=False).astype(np.uint64)
+            cols["__b"] = pa.array(
+                ((v * gold) & np.uint64(nb - 1)).astype(np.int32))
+            cols["__side"] = pa.array(np.full(t.num_rows, side, np.int8))
+            return pa.table(cols)
+        return fn
+
+    tagged = ds.map_batches(tag(0, on), batch_format="pyarrow") \
+        .union(ids.map_batches(tag(1, id_col), batch_format="pyarrow"))
+
+    def anti(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        is_l = pc.equal(g["__side"], 0)
+        left = g.filter(is_l).select(names)
+        drop = g.filter(pc.invert(is_l))[on]
+        if len(drop) == 0:
+            return left
+        return left.filter(
+            pc.invert(pc.fill_null(pc.is_in(left[on],
+                                            value_set=drop.combine_chunks()
+                                            if isinstance(drop, pa.ChunkedArray)
+                                            else drop), False)))
+
+    return tagged.groupby("__b").map_groups(anti, batch_format="pyarrow")
