@@ -25,41 +25,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """Oracle-backed queries first (the driver checks a bounded prefix of
     this dict; rows-only approximate families go last so every query with an
     oracle gets the full rows+schema+hash gate). Within the oracle-backed
-    block, queries with no passing row in the latest CORRECTNESS_r*.json run
-    first — round-robin verification so a bounded driver window still covers
-    every oracle across rounds."""
+    block, queries are ordered by the round of their LAST fully-green
+    CORRECTNESS_r*.json row, never-green first — round-robin verification
+    so a bounded driver window re-verifies the stalest oracles each round
+    and still covers every oracle across rounds."""
     from oregonwaterdataportal_etl_ray.pipelines import ORACLE_SQL, QUERIES
 
-    verified = _previously_verified()
+    last_green = _last_green_round()
     oracle_backed = [k for k in QUERIES if k in ORACLE_SQL]
-    oracle_backed.sort(key=lambda k: k in verified)  # stable: unverified first
+    oracle_backed.sort(key=lambda k: last_green.get(k, -1))  # stable
     ordered = {k: QUERIES[k] for k in oracle_backed}
     ordered.update({k: v for k, v in QUERIES.items() if k not in ORACLE_SQL})
     return ordered
 
 
-def _previously_verified() -> set[str]:
-    """Names with a fully-passing row in the newest CORRECTNESS_r*.json."""
+def _last_green_round() -> dict[str, int]:
+    """name -> highest round number whose CORRECTNESS_r*.json has a
+    fully-passing row for it (absent = never green)."""
     import glob
     import json
     import os
 
     here = os.path.dirname(os.path.abspath(__file__))
-    # numeric round order: a lexicographic sort would pick r99 over r100
-    files = sorted(
-        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
-        key=lambda p: int("".join(c for c in os.path.basename(p)
-                                  if c.isdigit()) or 0))
-    if not files:
-        return set()
-    try:
-        with open(files[-1]) as f:
-            rows = json.load(f)
-        return {name for name, r in rows.items()
-                if r.get("rows_match") and r.get("schema_match")
-                and r.get("hash_match")}
-    except (OSError, ValueError, AttributeError):
-        return set()
+    out: dict[str, int] = {}
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        # numeric round id (a lexicographic compare would rank r9 over r10)
+        rnd = int("".join(c for c in os.path.basename(p) if c.isdigit()) or 0)
+        try:
+            with open(p) as f:
+                rows = json.load(f)
+            for name, r in rows.items():
+                if (r.get("rows_match") and r.get("schema_match")
+                        and r.get("hash_match")):
+                    out[name] = max(out.get(name, -1), rnd)
+        except (OSError, ValueError, AttributeError):
+            continue
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
